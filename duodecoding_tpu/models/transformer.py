@@ -1,0 +1,195 @@
+"""Functional Llama/Qwen-family transformer with a fixed-shape KV cache.
+
+TPU-first re-design of the reference's stateful ``KVCacheModel``
+(reference: src/model_gpu.py:54-422):
+
+- parameters are a pytree of stacked-by-layer arrays so the forward pass is
+  a single ``lax.scan`` over layers (one XLA While op instead of L unrolled
+  blocks — fast compiles at 13B depth);
+- the KV cache is a fixed-shape pytree ``(k, v, length)``; "rollback" is a
+  pure function that resets ``length`` (the reference crops HF cache
+  tensors, src/model_gpu.py:362-383 — here stale positions are simply
+  masked/overwritten, no reallocation);
+- prefill and gamma-token verify steps are the same function at different
+  static sequence lengths; single-token decode is T=1.
+
+All matmuls run in bf16 (MXU native); logits are returned in float32 for
+the sampling math.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.models.config import ModelConfig
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, S, H_kv, Dh]
+    v: jax.Array  # [L, B, S, H_kv, Dh]
+    length: jax.Array  # scalar int32 — number of valid positions
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    return KVCache(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), length=jnp.int32(0)
+    )
+
+
+def rollback(cache: KVCache, end_pos: jax.Array) -> KVCache:
+    """Reset the cache to ``end_pos`` valid positions (pure index bookkeeping).
+
+    Equivalent to the reference's ``KVCacheModel.rollback``
+    (src/model_gpu.py:362-383) without any data movement: the next forward
+    starts at ``length`` and overwrites/masks stale positions.
+    """
+    end = jnp.minimum(jnp.asarray(end_pos, jnp.int32), cache.length)
+    return KVCache(k=cache.k, v=cache.v, length=end)
+
+
+def init_random_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
+    """Random-init parameters at the true architecture (bench/test use)."""
+    d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    hd, h, hkv, L = cfg.head_dim_, cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+    ks = jax.random.split(key, 10)
+
+    def norm(k, *shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, d), dtype),
+        "wq": norm(ks[0], L, d, h * hd),
+        "wk": norm(ks[1], L, d, hkv * hd),
+        "wv": norm(ks[2], L, d, hkv * hd),
+        "wo": norm(ks[3], L, h * hd, d),
+        "mlp_norm": jnp.ones((L, d), dtype),
+        "w_gate": norm(ks[4], L, d, f),
+        "w_up": norm(ks[5], L, d, f),
+        "w_down": norm(ks[6], L, f, d),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((L, h * hd), dtype)
+        layers["bk"] = jnp.zeros((L, hkv * hd), dtype)
+        layers["bv"] = jnp.zeros((L, hkv * hd), dtype)
+    params = {
+        "embed": norm(ks[7], v, d, scale=0.02),
+        "final_norm": jnp.ones((d,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm(ks[8], d, v)
+    return params
+
+
+def _rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, HF 'half-split' layout. x: [B, T, H, Dh]."""
+    dh = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    angles = positions[:, :, None].astype(jnp.float32) * inv_freq[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B, T, 1, Dh/2]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2 :]
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate(
+        [x1f * cos - x2f * sin, x2f * cos + x1f * sin], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def forward(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    return_hidden: bool = False,
+):
+    """Run the transformer over ``tokens`` starting at ``cache.length``.
+
+    Returns ``(logits_f32 [B, T, V], new_cache)`` (plus final-layer hidden
+    states when ``return_hidden`` — used by acceptance-prediction heads,
+    the reference's ``hidden_states`` exposure in src/model_gpu.py).
+    """
+    B, T = tokens.shape
+    S = cache.max_len
+    h = jnp.take(params["embed"], tokens, axis=0)
+    start = cache.length
+    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (B, T))
+
+    q_pos = start + jnp.arange(T, dtype=jnp.int32)  # [T]
+    k_pos = jnp.arange(S, dtype=jnp.int32)  # [S]
+    mask = k_pos[None, :] <= q_pos[:, None]  # [T, S] causal over valid region
+    scale = cfg.head_dim_**-0.5
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+
+    def layer_fn(h, xs):
+        lp, k_cache, v_cache = xs
+        x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
+        q = x @ lp["wq"]
+        k = x @ lp["wk"]
+        v = x @ lp["wv"]
+        if cfg.qkv_bias:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim_)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
+
+        # GQA: group query heads over kv heads; MXU matmuls with f32 accum
+        qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
+        scores = jnp.einsum(
+            "btgrd,bsgd->bgrts",
+            qg,
+            k_cache,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = jnp.where(mask[None, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bgrts,bsgd->btgrd",
+            probs.astype(v_cache.dtype),
+            v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
+        h = h + ctx @ lp["wo"]
+
+        x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        h = h + (gate * (x @ lp["w_up"])) @ lp["w_down"]
+        return h, (k_cache, v_cache)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        layer_fn, h, (params["layers"], cache.k, cache.v)
+    )
+    h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
+
+    new_cache = KVCache(k=new_k, v=new_v, length=start + T)
+    if return_hidden:
+        return logits, new_cache, h
+    return logits, new_cache
