@@ -82,16 +82,16 @@ def test_synthetic_trace_deterministic():
 
 def test_precise_simulator_shannon_capacity_and_energy():
     sim = PreciseCommSimulator(
-        bandwidth_hz=1e6,
+        bandwidth_hz=1e8,
         channel_gain=1.0,
         send_power_watt=2.0,
         noise_power_watt=2.0,
         ntt_ms_edge_cloud=0,
         ntt_ms_edge_end=0,
     )
-    capacity = 1e6 * math.log2(2)
+    capacity = 1e8 * math.log2(2)
     assert sim.channel_capacity_bps == pytest.approx(capacity)
-    # edge_cloud link = capacity/10 bps
+    # edge_cloud link = capacity/10 bps (above the 5 Mbps floor)
     t = sim.simulate_transfer(capacity / 10 / 8, "edge_cloud")
     assert t == pytest.approx(1.0)
     assert sim.total_comm_energy == pytest.approx(2.0)
