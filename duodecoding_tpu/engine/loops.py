@@ -1,0 +1,491 @@
+"""Device-resident decoding loops.
+
+The reference decodes with a Python loop that round-trips host<->device
+every draft token (reference: src/model_gpu.py:284-358,
+src/engine.py:549-805). Here entire generations run as single
+``lax.while_loop`` programs on device: the host dispatches ONE computation
+per request and reads back the token buffer plus compact per-iteration
+records, from which the communication simulator and metrics are replayed
+exactly (the cost model depends only on per-iteration counts, never on
+values, for the non-adaptive modes).
+
+Invariants (established by prefill, preserved by every iteration):
+- ``cache.length == n_tokens - 1`` for every tier at iteration boundaries
+  (the newest token is never cached — its KV is computed by the next
+  forward, exactly like the reference's ``x[:, cached_len:]`` slicing);
+- the token buffer is fixed-shape [B, S]; ``n_tokens`` is the only length.
+
+Rollback identity used throughout (see ops/verify.py): after verification
+both caches are reset to ``n + 1`` — the reference's draft->n+1 /
+target->n+2-with-clamp rules both reduce to n+1 under the lag-1 invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.engine.sampling_config import SamplingConfig
+from duodecoding_tpu.models.config import ModelConfig
+from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.ops.sampling import (
+    max_fn,
+    norm_logits,
+    rebuild_topk_uniform_probs,
+    sample,
+)
+from duodecoding_tpu.ops.verify import compute_acceptance
+
+
+def entropy(probs: jax.Array) -> jax.Array:
+    """Shannon entropy per row (nats)."""
+    p = jnp.maximum(probs, 1e-12)
+    return -jnp.sum(p * jnp.log(p), axis=-1)
+
+
+def _sample_from_probs(key, probs, sampling: SamplingConfig):
+    if sampling.greedy:
+        return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.int32)
+    return sample(key, probs)
+
+
+def _stops_hit(tokens, start, count, eos_ids, max_scan: int):
+    """Whether any of the ``count`` tokens written at [start, start+count)
+    is an EOS token. Static scan over max_scan positions."""
+    if not eos_ids:
+        return jnp.zeros((tokens.shape[0],), bool)
+    hit = jnp.zeros((tokens.shape[0],), bool)
+    for i in range(max_scan):
+        pos = start + i
+        tok = jax.lax.dynamic_index_in_dim(tokens, pos, axis=1, keepdims=False)
+        is_eos = jnp.zeros_like(hit)
+        for e in eos_ids:
+            is_eos = is_eos | (tok == e)
+        hit = hit | (is_eos & (i < count))
+    return hit
+
+
+# --------------------------------------------------------------------------
+# Prefill
+# --------------------------------------------------------------------------
+
+
+def prefill_chunk_sizes(length: int, max_chunk: int = 512) -> list[int]:
+    """Binary decomposition of ``length`` into power-of-two chunks so that
+    prompts of any length reuse at most log2 compiled prefill programs."""
+    sizes = []
+    c = max_chunk
+    rem = length
+    while c >= 1:
+        while rem >= c:
+            sizes.append(c)
+            rem -= c
+        c //= 2
+    return sizes
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def prefill_step(params, cfg: ModelConfig, cache: KVCache, tokens: jax.Array):
+    """Advance the cache over ``tokens`` (one power-of-two chunk)."""
+    _, cache = forward(params, cfg, tokens, cache)
+    return cache
+
+
+def prefill(params, cfg: ModelConfig, cache: KVCache, prompt: jax.Array):
+    """Process ``prompt[:, :-1]`` into the cache (lag-1 invariant)."""
+    n = prompt.shape[1] - 1
+    off = 0
+    for c in prefill_chunk_sizes(n):
+        cache = prefill_step(params, cfg, cache, prompt[:, off : off + c])
+        off += c
+    return cache
+
+
+# --------------------------------------------------------------------------
+# Autoregressive generation (modes `small` / `large`)
+# --------------------------------------------------------------------------
+
+
+class ARState(NamedTuple):
+    tokens: jax.Array  # [B, S]
+    n_tokens: jax.Array  # int32
+    cache: KVCache
+    key: jax.Array
+    done: jax.Array  # [B] bool
+    steps: jax.Array  # int32 — forward count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids"),
+    donate_argnames=("tokens", "cache"),
+)
+def ar_generate(
+    params,
+    *,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    cache: KVCache,
+    n_tokens: jax.Array,
+    key: jax.Array,
+    sampling: SamplingConfig,
+    max_new_tokens: int,
+    eos_ids: tuple[int, ...] = (),
+):
+    """Vanilla AR decode with KV cache (reference src/engine.py:549-608),
+    whole generation in one while_loop."""
+    limit = n_tokens + max_new_tokens
+
+    def cond(s: ARState):
+        return jnp.logical_and(s.n_tokens < limit, ~jnp.all(s.done))
+
+    def body(s: ARState):
+        key, k_s = jax.random.split(s.key)
+        last = jax.lax.dynamic_slice_in_dim(s.tokens, s.n_tokens - 1, 1, axis=1)
+        logits, cache = forward(params, cfg, last, s.cache)
+        probs = norm_logits(
+            logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+        )
+        tok = _sample_from_probs(k_s, probs, sampling)
+        tokens = jax.lax.dynamic_update_slice(
+            s.tokens, tok, (0, s.n_tokens)
+        )
+        done = s.done | _stops_hit(tokens, s.n_tokens, 1, eos_ids, 1)
+        return ARState(
+            tokens=tokens,
+            n_tokens=s.n_tokens + 1,
+            cache=cache,
+            key=key,
+            done=done,
+            steps=s.steps + 1,
+        )
+
+    init = ARState(
+        tokens=tokens,
+        n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        cache=cache,
+        key=key,
+        done=jnp.zeros((tokens.shape[0],), bool),
+        steps=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.tokens, out.n_tokens, out.cache, out.steps
+
+
+# --------------------------------------------------------------------------
+# Speculative decoding (two tiers) — the shared core of sd / dsd / dssd
+# --------------------------------------------------------------------------
+
+
+class SDRecords(NamedTuple):
+    """Per-iteration records for host-side comm/metrics replay. All arrays
+    are pre-allocated at [max_iters, ...]; ``n_iters`` rows are valid."""
+
+    actual_gamma: jax.Array  # [I] drafts produced this iteration
+    accepted: jax.Array  # [I] continuously accepted drafts
+    emitted: jax.Array  # [I] tokens appended (accepted + 1)
+    draft_entropy: jax.Array  # [I] entropy of the last draft dist
+    target_entropy: jax.Array  # [I] entropy of the decision row
+    accept_rate: jax.Array  # [I] accepted / actual_gamma
+
+
+class SDState(NamedTuple):
+    tokens: jax.Array
+    n_tokens: jax.Array
+    draft_cache: KVCache
+    target_cache: KVCache
+    key: jax.Array
+    done: jax.Array
+    it: jax.Array  # iteration counter
+    draft_steps: jax.Array
+    target_steps: jax.Array
+    records: SDRecords
+
+
+def draft_tokens_loop(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    n_tokens: jax.Array,
+    cache: KVCache,
+    key: jax.Array,
+    gamma: int,
+    sampling: SamplingConfig,
+    rebuild_top_k: int | None = None,
+    stop_fn=None,
+):
+    """Draft up to ``gamma`` tokens (sequential T=1 decodes), writing them
+    into the token buffer and producing the q window.
+
+    Equivalent of the reference's ``KVCacheModel.generate`` /
+    ``generate_with_rebuilt_topk`` (src/model_gpu.py:324-360): with
+    ``rebuild_top_k`` the proposal is sampled from the top-k+uniform rebuilt
+    distribution and that rebuilt row is recorded as q (verification
+    parity). ``stop_fn(hidden, q_row, i, carry)`` may stop drafting early
+    (acceptance-prediction heads); it returns (stop?, carry).
+
+    Returns (tokens, cache, q_window [B, gamma, V], actual_gamma, key,
+    stop_carry, n_steps).
+    """
+    B = tokens.shape[0]
+    V = cfg.vocab_size
+    q_window = jnp.zeros((B, gamma, V), jnp.float32)
+
+    def body(carry):
+        tokens, cache, q_window, i, key, stopped, stop_carry, steps = carry
+        key, k_s = jax.random.split(key)
+        pos = n_tokens + i
+        last = jax.lax.dynamic_slice(tokens, (0, pos - 1), (B, 1))
+        logits, cache, hidden = forward(params, cfg, last, cache, return_hidden=True)
+        q = norm_logits(
+            logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+        )
+        if rebuild_top_k is not None:
+            q = rebuild_topk_uniform_probs(q, rebuild_top_k)
+        tok = _sample_from_probs(k_s, q, sampling)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok, (0, pos))
+        q_window = jax.lax.dynamic_update_slice(
+            q_window, q[:, None, :], (0, i, 0)
+        )
+        if stop_fn is not None:
+            stop, stop_carry = stop_fn(hidden[:, -1, :], q, tok, i, stop_carry)
+        else:
+            stop = jnp.zeros((), bool)
+        return (tokens, cache, q_window, i + 1, key, stop, stop_carry, steps + 1)
+
+    def cond(carry):
+        _, _, _, i, _, stopped, _, _ = carry
+        return jnp.logical_and(i < gamma, ~stopped)
+
+    stop_carry0 = jnp.zeros((B,), jnp.float32) + 1.0  # cumulative accept prob
+    init = (
+        tokens,
+        cache,
+        q_window,
+        jnp.int32(0),
+        key,
+        jnp.zeros((), bool),
+        stop_carry0,
+        jnp.int32(0),
+    )
+    tokens, cache, q_window, actual_gamma, key, _, stop_carry, steps = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return tokens, cache, q_window, actual_gamma, key, stop_carry, steps
+
+
+def sd_iteration(
+    draft_params,
+    target_params,
+    s: SDState,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    gamma: int,
+    draft_sampling: SamplingConfig,
+    target_sampling: SamplingConfig,
+    rebuild_top_k: int | None,
+    eos_ids: tuple[int, ...],
+    stop_fn=None,
+) -> SDState:
+    """One draft-gamma/verify/accept/rollback iteration (the shared core of
+    the reference's `sd` loop, src/engine.py:610-805)."""
+    B = s.tokens.shape[0]
+    verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+    prefix_len = s.n_tokens
+
+    key, k_r, k_t = jax.random.split(s.key, 3)
+
+    tokens, draft_cache, q_window, actual_gamma, key, stop_carry, d_steps = (
+        draft_tokens_loop(
+            draft_params,
+            draft_cfg,
+            s.tokens,
+            prefix_len,
+            s.draft_cache,
+            key,
+            gamma,
+            draft_sampling,
+            rebuild_top_k,
+            stop_fn,
+        )
+    )
+
+    # verify forward: T = gamma + 1 tokens starting at target_cache.length
+    # (= prefix_len - 1). Positions beyond actual_gamma carry padding; their
+    # cache rows are discarded by the rollback below.
+    ver_in = jax.lax.dynamic_slice(tokens, (0, prefix_len - 1), (B, gamma + 1))
+    t_logits, target_cache = forward(target_params, target_cfg, ver_in, s.target_cache)
+    p_window = norm_logits(
+        t_logits,
+        target_sampling.temperature,
+        target_sampling.top_k,
+        target_sampling.top_p,
+    )  # [B, gamma+1, V_t]
+
+    draft_toks = jax.lax.dynamic_slice(tokens, (0, prefix_len), (B, gamma))
+    r = jax.random.uniform(k_r, (B, gamma))
+    acc = compute_acceptance(
+        q_window[:, :, :verify_vocab],
+        p_window[:, :, :verify_vocab],
+        draft_toks,
+        r,
+        prefix_len,
+        actual_gamma,
+    )
+    all_accepted = acc.accepted_count >= actual_gamma
+
+    # decision row: on full accept the target row at actual_gamma (the bonus
+    # position); on reject the residual at the first rejected offset.
+    off = acc.accepted_count  # [B]
+    tgt_row = jnp.take_along_axis(p_window, off[:, None, None], axis=1)[:, 0, :]
+    drf_off = jnp.minimum(off, jnp.maximum(actual_gamma - 1, 0))
+    drf_row = jnp.take_along_axis(q_window, drf_off[:, None, None], axis=1)[:, 0, :]
+    residual = max_fn(
+        tgt_row[:, :verify_vocab] - drf_row[:, :verify_vocab]
+    )
+    if verify_vocab < target_cfg.vocab_size:
+        pad = jnp.zeros((B, target_cfg.vocab_size - verify_vocab), jnp.float32)
+        residual = jnp.concatenate([residual, pad], axis=-1)
+    final_dist = jnp.where(all_accepted[:, None], tgt_row, residual)
+    if target_sampling.greedy:
+        # at temp 0 both branches are one-hot; sampling = argmax
+        next_tok = jnp.argmax(final_dist, axis=-1)[:, None].astype(jnp.int32)
+    else:
+        next_tok = sample(k_t, final_dist)
+
+    # commit: n_tokens = n + 2 (accepted drafts stay in the buffer; the
+    # sampled token is written at n + 1)
+    n = acc.n[0]
+    tokens = jax.lax.dynamic_update_slice(tokens, next_tok, (0, n + 1))
+    new_n_tokens = n + 2
+
+    # rollback identity: both caches to n + 1 (see module docstring)
+    draft_cache = KVCache(draft_cache.k, draft_cache.v, (n + 1).astype(jnp.int32))
+    target_cache = KVCache(target_cache.k, target_cache.v, (n + 1).astype(jnp.int32))
+
+    emitted = new_n_tokens - prefix_len
+    done = s.done | _stops_hit(tokens, prefix_len, emitted, eos_ids, gamma + 1)
+
+    last_q = jnp.take_along_axis(
+        q_window, jnp.maximum(actual_gamma - 1, 0)[None, None, None], axis=1
+    )[:, 0, :]
+    rec = s.records
+    records = SDRecords(
+        actual_gamma=rec.actual_gamma.at[s.it].set(actual_gamma),
+        accepted=rec.accepted.at[s.it].set(acc.accepted_count[0]),
+        emitted=rec.emitted.at[s.it].set(emitted),
+        draft_entropy=rec.draft_entropy.at[s.it].set(entropy(last_q)[0]),
+        target_entropy=rec.target_entropy.at[s.it].set(entropy(tgt_row)[0]),
+        accept_rate=rec.accept_rate.at[s.it].set(
+            acc.accepted_count[0] / jnp.maximum(actual_gamma, 1)
+        ),
+    )
+
+    return SDState(
+        tokens=tokens,
+        n_tokens=new_n_tokens,
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        key=key,
+        done=done,
+        it=s.it + 1,
+        draft_steps=s.draft_steps + d_steps,
+        target_steps=s.target_steps + 1,
+        records=records,
+    )
+
+
+def init_sd_records(max_iters: int) -> SDRecords:
+    zi = jnp.zeros((max_iters,), jnp.int32)
+    zf = jnp.zeros((max_iters,), jnp.float32)
+    return SDRecords(
+        actual_gamma=zi,
+        accepted=zi,
+        emitted=zi,
+        draft_entropy=zf,
+        target_entropy=zf,
+        accept_rate=zf,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "draft_cfg",
+        "target_cfg",
+        "gamma",
+        "draft_sampling",
+        "target_sampling",
+        "rebuild_top_k",
+        "max_new_tokens",
+        "eos_ids",
+    ),
+    donate_argnums=(2, 4, 5),
+)
+def sd_generate(
+    draft_params,
+    target_params,
+    tokens: jax.Array,
+    n_tokens: jax.Array,
+    draft_cache: KVCache,
+    target_cache: KVCache,
+    key: jax.Array,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    gamma: int,
+    draft_sampling: SamplingConfig,
+    target_sampling: SamplingConfig,
+    rebuild_top_k: int | None = None,
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+):
+    """Full speculative-decoding generation on device.
+
+    Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
+    """
+    limit = n_tokens + max_new_tokens
+    max_iters = max_new_tokens  # worst case: 1 token per iteration
+
+    def cond(s: SDState):
+        return jnp.logical_and(s.n_tokens < limit, ~jnp.all(s.done))
+
+    def body(s: SDState):
+        return sd_iteration(
+            draft_params,
+            target_params,
+            s,
+            draft_cfg=draft_cfg,
+            target_cfg=target_cfg,
+            gamma=gamma,
+            draft_sampling=draft_sampling,
+            target_sampling=target_sampling,
+            rebuild_top_k=rebuild_top_k,
+            eos_ids=eos_ids,
+        )
+
+    init = SDState(
+        tokens=tokens,
+        n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        key=key,
+        done=jnp.zeros((tokens.shape[0],), bool),
+        it=jnp.int32(0),
+        draft_steps=jnp.int32(0),
+        target_steps=jnp.int32(0),
+        records=init_sd_records(max_iters),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return (
+        out.tokens,
+        out.n_tokens,
+        out.records,
+        out.it,
+        out.draft_steps,
+        out.target_steps,
+    )
