@@ -10,14 +10,17 @@ exactly (the cost model depends only on per-iteration counts, never on
 values, for the non-adaptive modes).
 
 Invariants (established by prefill, preserved by every iteration):
-- ``cache.length == n_tokens - 1`` for every tier at iteration boundaries
-  (the newest token is never cached — its KV is computed by the next
-  forward, exactly like the reference's ``x[:, cached_len:]`` slicing);
+- the target cache lags the token buffer by exactly 1 at iteration
+  boundaries (the newest token is never cached — its KV is computed by the
+  next forward, exactly like the reference's ``x[:, cached_len:]``
+  slicing);
+- the draft cache lags by 1 (reject path) or 2 (all-accept path: the bonus
+  token AND the last draft token's KV are both absent, matching the
+  reference's rollback clamp in src/model_gpu.py:362-383). The draft loop
+  therefore starts every iteration by rewinding to ``n_tokens - 2`` and
+  catching up with one T=2 forward — recomputing at most one identical KV
+  row, which keeps every shape static;
 - the token buffer is fixed-shape [B, S]; ``n_tokens`` is the only length.
-
-Rollback identity used throughout (see ops/verify.py): after verification
-both caches are reset to ``n + 1`` — the reference's draft->n+1 /
-target->n+2-with-clamp rules both reduce to n+1 under the lag-1 invariant.
 """
 
 from __future__ import annotations
@@ -216,59 +219,102 @@ def draft_tokens_loop(
     sampling: SamplingConfig,
     rebuild_top_k: int | None = None,
     stop_fn=None,
+    gamma_bound: jax.Array | None = None,
 ):
-    """Draft up to ``gamma`` tokens (sequential T=1 decodes), writing them
-    into the token buffer and producing the q window.
+    """Draft up to ``gamma`` tokens, writing them into the token buffer and
+    producing the q window.
 
     Equivalent of the reference's ``KVCacheModel.generate`` /
     ``generate_with_rebuilt_topk`` (src/model_gpu.py:324-360): with
     ``rebuild_top_k`` the proposal is sampled from the top-k+uniform rebuilt
     distribution and that rebuilt row is recorded as q (verification
-    parity). ``stop_fn(hidden, q_row, i, carry)`` may stop drafting early
-    (acceptance-prediction heads); it returns (stop?, carry).
+    parity). ``stop_fn(hidden, q_row, tok, i, carry)`` may stop drafting
+    early (acceptance-prediction heads); it returns (stop?, carry).
+    ``gamma_bound`` is a traced cap (token-budget clamp: the reference's
+    ``min(gamma, remaining - 1)``); 0 drafts nothing (the mode then
+    degenerates to a single target step).
+
+    The draft cache may lag the token buffer by 1 or 2 positions (see module
+    docstring); the loop starts by rewinding to ``n_tokens - 2`` and
+    catching up with one T=2 forward whose last row is q_0. Requires
+    ``n_tokens >= 2``.
 
     Returns (tokens, cache, q_window [B, gamma, V], actual_gamma, key,
     stop_carry, n_steps).
     """
     B = tokens.shape[0]
     V = cfg.vocab_size
+    bound = (
+        jnp.int32(gamma)
+        if gamma_bound is None
+        else jnp.clip(gamma_bound, 0, gamma).astype(jnp.int32)
+    )
+
+    def norm(logits_row):
+        q = norm_logits(
+            logits_row, sampling.temperature, sampling.top_k, sampling.top_p
+        )
+        if rebuild_top_k is not None:
+            q = rebuild_topk_uniform_probs(q, rebuild_top_k)
+        return q
+
+    # catch-up: rewind to n_tokens - 2 and recompute (at most one row is
+    # recomputed identically); produces q_0 and re-establishes lag 0.
+    cache = KVCache(cache.k, cache.v, jnp.minimum(cache.length, n_tokens - 2))
+    catch = jax.lax.dynamic_slice(tokens, (0, n_tokens - 2), (B, 2))
+    logits, cache, hidden = forward(params, cfg, catch, cache, return_hidden=True)
+    q0 = norm(logits[:, -1, :])
+    h0 = hidden[:, -1, :]
+
     q_window = jnp.zeros((B, gamma, V), jnp.float32)
+    stop_carry0 = jnp.ones((B,), jnp.float32)  # cumulative accept prob
+
+    def emit(tokens, q_window, q_cur, h_cur, i, k_s, stop_carry):
+        """Sample draft token i from q_cur, record the row, run stop_fn."""
+        tok = _sample_from_probs(k_s, q_cur, sampling)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok, (0, n_tokens + i))
+        q_window = jax.lax.dynamic_update_slice(q_window, q_cur[:, None, :], (0, i, 0))
+        if stop_fn is not None:
+            stop, stop_carry = stop_fn(h_cur, q_cur, tok, i, stop_carry)
+        else:
+            stop = jnp.zeros((), bool)
+        return tokens, q_window, tok, stop, stop_carry
+
+    # draft token 0 (guarded: with bound == 0 nothing is written)
+    key, k0 = jax.random.split(key)
+    t_new, q_new, _, stop0, carry0 = emit(
+        tokens, q_window, q0, h0, jnp.int32(0), k0, stop_carry0
+    )
+    has_any = bound >= 1
+    tokens = jnp.where(has_any, t_new, tokens)
+    q_window = jnp.where(has_any, q_new, q_window)
+    stop0 = jnp.logical_or(~has_any, stop0 & has_any)
+    stop_carry = jnp.where(has_any, carry0, stop_carry0)
 
     def body(carry):
         tokens, cache, q_window, i, key, stopped, stop_carry, steps = carry
         key, k_s = jax.random.split(key)
-        pos = n_tokens + i
-        last = jax.lax.dynamic_slice(tokens, (0, pos - 1), (B, 1))
-        logits, cache, hidden = forward(params, cfg, last, cache, return_hidden=True)
-        q = norm_logits(
-            logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+        # forward the previously sampled token to produce q_i
+        prev = jax.lax.dynamic_slice(tokens, (0, n_tokens + i - 1), (B, 1))
+        logits, cache, hidden = forward(params, cfg, prev, cache, return_hidden=True)
+        q_cur = norm(logits[:, -1, :])
+        tokens, q_window, _, stop, stop_carry = emit(
+            tokens, q_window, q_cur, hidden[:, -1, :], i, k_s, stop_carry
         )
-        if rebuild_top_k is not None:
-            q = rebuild_topk_uniform_probs(q, rebuild_top_k)
-        tok = _sample_from_probs(k_s, q, sampling)
-        tokens = jax.lax.dynamic_update_slice(tokens, tok, (0, pos))
-        q_window = jax.lax.dynamic_update_slice(
-            q_window, q[:, None, :], (0, i, 0)
-        )
-        if stop_fn is not None:
-            stop, stop_carry = stop_fn(hidden[:, -1, :], q, tok, i, stop_carry)
-        else:
-            stop = jnp.zeros((), bool)
         return (tokens, cache, q_window, i + 1, key, stop, stop_carry, steps + 1)
 
     def cond(carry):
         _, _, _, i, _, stopped, _, _ = carry
-        return jnp.logical_and(i < gamma, ~stopped)
+        return jnp.logical_and(i < bound, ~stopped)
 
-    stop_carry0 = jnp.zeros((B,), jnp.float32) + 1.0  # cumulative accept prob
     init = (
         tokens,
         cache,
         q_window,
-        jnp.int32(0),
+        jnp.where(has_any, jnp.int32(1), jnp.int32(0)),
         key,
-        jnp.zeros((), bool),
-        stop_carry0,
+        stop0,
+        stop_carry,
         jnp.int32(0),
     )
     tokens, cache, q_window, actual_gamma, key, _, stop_carry, steps = (
@@ -289,17 +335,22 @@ def sd_iteration(
     target_sampling: SamplingConfig,
     rebuild_top_k: int | None,
     eos_ids: tuple[int, ...],
+    limit: jax.Array | None = None,
     stop_fn=None,
 ) -> SDState:
     """One draft-gamma/verify/accept/rollback iteration (the shared core of
-    the reference's `sd` loop, src/engine.py:610-805)."""
+    the reference's `sd` loop, src/engine.py:610-805). ``limit`` caps total
+    tokens: gamma is clamped to ``limit - 1 - prefix`` (the reference's
+    remaining-budget clamp; at 0 the iteration degenerates to a single
+    target step)."""
     B = s.tokens.shape[0]
     verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
     prefix_len = s.n_tokens
 
     key, k_r, k_t = jax.random.split(s.key, 3)
+    gamma_bound = None if limit is None else limit - 1 - prefix_len
 
-    tokens, draft_cache, q_window, actual_gamma, key, stop_carry, d_steps = (
+    tokens, draft_cache, q_window, actual_gamma, key, stop_carry, _ = (
         draft_tokens_loop(
             draft_params,
             draft_cfg,
@@ -311,6 +362,7 @@ def sd_iteration(
             draft_sampling,
             rebuild_top_k,
             stop_fn,
+            gamma_bound,
         )
     )
 
@@ -393,7 +445,7 @@ def sd_iteration(
         key=key,
         done=done,
         it=s.it + 1,
-        draft_steps=s.draft_steps + d_steps,
+        draft_steps=s.draft_steps + actual_gamma,
         target_steps=s.target_steps + 1,
         records=records,
     )
@@ -466,6 +518,7 @@ def sd_generate(
             target_sampling=target_sampling,
             rebuild_top_k=rebuild_top_k,
             eos_ids=eos_ids,
+            limit=limit,
         )
 
     init = SDState(

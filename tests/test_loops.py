@@ -146,3 +146,11 @@ def test_sd_with_rebuild_topk_still_runs():
         d_params, t_params, CFG, CFG_DEEP, gamma=3, max_new=12, rebuild_top_k=16
     )
     assert int(n) >= len(PROMPT) + 12
+
+
+def test_sd_respects_token_budget_exactly():
+    t_params = init_random_params(CFG_DEEP, jax.random.PRNGKey(7), dtype=jnp.float32)
+    d_params = init_random_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    for max_new in (5, 11, 24):
+        out_tokens, n, *_ = _sd(d_params, t_params, CFG, CFG_DEEP, gamma=4, max_new=max_new)
+        assert int(n) - len(PROMPT) == max_new
