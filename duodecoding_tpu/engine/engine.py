@@ -1,0 +1,147 @@
+"""Engine: owns the model tiers and dispatches decoding modes.
+
+Replaces the reference's ``Decoding``/``Baselines`` god-classes
+(reference: src/engine.py:78, src/baselines.py:227) with a small facade:
+tiers are (config, params) pairs, modes are registered functions over the
+engine (engine/registry.py), and each mode returns
+``(token_ids, DecodingMetrics)`` exactly like the reference contract
+(src/baselines.py mode signatures, §SURVEY 2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.engine import modes as _modes  # noqa: F401 — registers modes
+from duodecoding_tpu.engine.registry import get_decoding_mode
+from duodecoding_tpu.engine.sampling_config import SamplingConfig
+from duodecoding_tpu.models.config import ModelConfig
+from duodecoding_tpu.models.transformer import init_cache
+
+
+@dataclasses.dataclass
+class Tier:
+    """One model tier (little / draft / target)."""
+
+    cfg: ModelConfig
+    params: Any
+
+    @property
+    def vocab_size(self) -> int:
+        return self.cfg.vocab_size
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Unified typed run configuration (replaces the reference's ~50-flag
+    argparse monolith, src/utils.py:248-647 — the subset that shapes
+    decoding; eval-harness flags live with the harness)."""
+
+    max_tokens: int = 128
+    gamma: int = 4
+    gamma1: int = 4
+    gamma2: int = 4
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 0.0
+    transfer_top_k: Optional[int] = 300
+    edge_cloud_bandwidth: float = 23.6  # Mbps
+    edge_end_bandwidth: float = 563.0  # Mbps
+    cloud_end_bandwidth: float = float("inf")
+    ntt_ms_edge_cloud: float = 10.0
+    ntt_ms_edge_end: float = 0.0
+    use_stochastic_comm: bool = False
+    use_precise_comm_sim: bool = False
+    batch_delay: float = 0.0
+    max_seq_len: int = 2048
+    seed: int = 1234
+    eos_ids: tuple[int, ...] = ()
+    param_dtype: Any = jnp.bfloat16
+    cache_dtype: Any = jnp.bfloat16
+    uncertainty_threshold: float = 0.8
+
+
+class Engine:
+    def __init__(
+        self,
+        target: Tier,
+        draft: Optional[Tier] = None,
+        little: Optional[Tier] = None,
+        config: Optional[EngineConfig] = None,
+    ):
+        self.target = target
+        self.draft = draft
+        self.little = little
+        self.config = config or EngineConfig()
+        tiers = [t for t in (target, draft, little) if t is not None]
+        # shared verification vocab (reference slices to the min vocab,
+        # src/decoding_ops.py:363)
+        self.vocab_size = min(t.vocab_size for t in tiers)
+        self._key = jax.random.PRNGKey(self.config.seed)
+
+    # -- helpers shared by modes ------------------------------------------
+    def next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    @property
+    def sampling(self) -> SamplingConfig:
+        c = self.config
+        return SamplingConfig(c.temperature, c.top_k, c.top_p)
+
+    def new_cache(self, tier: Tier, batch: int = 1):
+        return init_cache(
+            tier.cfg, batch, self.config.max_seq_len, dtype=self.config.cache_dtype
+        )
+
+    def token_buffer(self, prefix: np.ndarray) -> tuple[jax.Array, int]:
+        prefix = np.asarray(prefix)
+        if prefix.ndim == 1:
+            prefix = prefix[None, :]
+        B, L = prefix.shape
+        if B != 1:
+            raise NotImplementedError(
+                "modes follow the reference's batch-1 contract; continuous "
+                "batching is provided by the serving layer"
+            )
+        S = self.config.max_seq_len
+        if L + self.config.max_tokens + max(
+            self.config.gamma, self.config.gamma1 + self.config.gamma2
+        ) + 2 > S:
+            raise ValueError(
+                f"prompt ({L}) + max_tokens ({self.config.max_tokens}) "
+                f"exceeds max_seq_len ({S})"
+            )
+        buf = jnp.zeros((B, S), jnp.int32)
+        buf = buf.at[:, :L].set(jnp.asarray(prefix, jnp.int32))
+        return buf, L
+
+    def run(self, mode: str, prefix: np.ndarray, **kw):
+        """Run a decoding mode. Returns (token_ids [1, n], DecodingMetrics)."""
+        fn = get_decoding_mode(mode)
+        return fn(self, prefix, **kw)
+
+
+class Stopwatch:
+    """Wall-clock region timer; callers block on device results inside."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False
+
+
+def block(*arrays):
+    """Block until device arrays are ready (timing boundary)."""
+    for a in arrays:
+        jax.block_until_ready(a)

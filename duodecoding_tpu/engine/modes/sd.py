@@ -1,0 +1,101 @@
+"""Vanilla speculative decoding (`sd`) and its bandwidth-accounted variant.
+
+Reference: src/engine.py:610-805 (`sd`: draft gamma, one verify forward,
+rejection sampling, no comm sim) and src/engine.py:807-1014
+(`speculative_decoding_with_bandwidth`: the same loop + serial per-token
+transfer accounting on the edge_cloud link with reject messages).
+"""
+
+from __future__ import annotations
+
+from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
+from duodecoding_tpu.engine.modes.common import (
+    PROB_BYTES,
+    TOKEN_BYTES,
+    make_comm_simulator,
+    run_sd_loop,
+)
+from duodecoding_tpu.engine.registry import register_mode
+
+
+def _base_sd_metrics(engine, run):
+    m = get_empty_metrics()
+    m["generated_tokens"] = run.generated
+    m["draft_forward_times"] = run.draft_steps
+    m["target_forward_times"] = run.target_steps
+    m["draft_generated_tokens"] = int(run.actual_gamma.sum())
+    m["draft_accepted_tokens"] = int(run.accepted.sum())
+    m["loop_times"] = run.iters
+    if run.iters:
+        m["each_loop_draft_tokens"] = float(run.actual_gamma.mean())
+        m["avg_draft_len"] = float(run.actual_gamma.mean())
+    m["queuing_time"] = run.target_steps * engine.config.batch_delay
+    m["computation_time"] = run.elapsed
+    m["draft_entropy_history"] = [float(x) for x in run.draft_entropy]
+    m["draft_accept_rate_history"] = [float(x) for x in run.accept_rate]
+    return m
+
+
+@register_mode("sd")
+def speculative_decoding(engine, prefix, use_early_stopping=False, **kw):
+    rebuild_top_k = kw.get("transfer_top_k") or None
+    run = run_sd_loop(
+        engine,
+        prefix,
+        rebuild_top_k=rebuild_top_k,
+        use_early_stopping=use_early_stopping,
+    )
+    m = _base_sd_metrics(engine, run)
+    m["wall_time"] = run.elapsed + m["queuing_time"]
+    return run.tokens, finalize_throughput(m)
+
+
+@register_mode("speculative_decoding_with_bandwidth", aliases=("sd_bandwidth",))
+def sd_with_bandwidth(
+    engine,
+    prefix,
+    transfer_top_k=300,
+    use_early_stopping=False,
+    **kw,
+):
+    """`sd` + serial transfer accounting: for each verified position up to
+    the first reject (inclusive), one (token id, prob row) transfer on the
+    edge_cloud link; a 6-byte reject message when any draft is rejected
+    (reference src/engine.py:807-1014, serial mode of
+    src/decoding_ops.py:313-322)."""
+    cfg = engine.config
+    rebuild_top_k = transfer_top_k if (transfer_top_k or 0) > 0 else None
+    run = run_sd_loop(
+        engine,
+        prefix,
+        rebuild_top_k=rebuild_top_k,
+        use_early_stopping=use_early_stopping,
+    )
+
+    comm = make_comm_simulator(engine)
+    V = engine.vocab_size
+    for i in range(run.iters):
+        g, a = int(run.actual_gamma[i]), int(run.accepted[i])
+        if g <= 0:
+            continue
+        rejected = a < g
+        if rejected:
+            comm.send_reject_message("edge_cloud")
+        # serial transfers: accepted tokens + the rejected one (if any)
+        for _ in range(a + (1 if rejected else 0)):
+            comm.transfer(
+                1,
+                V,
+                "edge_cloud",
+                token_elem_size=TOKEN_BYTES,
+                prob_elem_size=PROB_BYTES,
+            )
+
+    m = _base_sd_metrics(engine, run)
+    m["communication_time"] = comm.edge_cloud_comm_time
+    m["edge_cloud_data_bytes"] = comm.edge_cloud_data
+    m["connect_times"] = comm.connect_times
+    m["comm_energy"] = comm.total_comm_energy
+    m["wall_time"] = run.elapsed + m["queuing_time"] + comm.edge_cloud_comm_time
+    m["edge_cloud_bandwidth_history"] = comm.edge_cloud_bandwidth_history.copy()
+    return run.tokens, finalize_throughput(m)
