@@ -220,6 +220,7 @@ def draft_tokens_loop(
     rebuild_top_k: int | None = None,
     stop_fn=None,
     gamma_bound: jax.Array | None = None,
+    catchup: int = 2,
 ):
     """Draft up to ``gamma`` tokens, writing them into the token buffer and
     producing the q window.
@@ -234,10 +235,12 @@ def draft_tokens_loop(
     ``min(gamma, remaining - 1)``); 0 drafts nothing (the mode then
     degenerates to a single target step).
 
-    The draft cache may lag the token buffer by 1 or 2 positions (see module
-    docstring); the loop starts by rewinding to ``n_tokens - 2`` and
-    catching up with one T=2 forward whose last row is q_0. Requires
-    ``n_tokens >= 2``.
+    The drafting cache may lag the token buffer by up to ``catchup``
+    positions (2 for two-tier SD; up to gamma1+gamma2+2 for the little tier
+    of tridecoding, whose rollback is clamped by the stage-2 result); the
+    loop starts by rewinding to ``n_tokens - catchup`` and catching up with
+    one T=catchup forward whose last row is q_0. Rows recomputed below the
+    cache's valid length are bit-identical. Requires ``n_tokens >= catchup``.
 
     Returns (tokens, cache, q_window [B, gamma, V], actual_gamma, key,
     stop_carry, n_steps).
@@ -258,10 +261,12 @@ def draft_tokens_loop(
             q = rebuild_topk_uniform_probs(q, rebuild_top_k)
         return q
 
-    # catch-up: rewind to n_tokens - 2 and recompute (at most one row is
-    # recomputed identically); produces q_0 and re-establishes lag 0.
-    cache = KVCache(cache.k, cache.v, jnp.minimum(cache.length, n_tokens - 2))
-    catch = jax.lax.dynamic_slice(tokens, (0, n_tokens - 2), (B, 2))
+    # catch-up: rewind to n_tokens - catchup and recompute; produces q_0 and
+    # re-establishes lag 0.
+    cache = KVCache(
+        cache.k, cache.v, jnp.minimum(cache.length, n_tokens - catchup)
+    )
+    catch = jax.lax.dynamic_slice(tokens, (0, n_tokens - catchup), (B, catchup))
     logits, cache, hidden = forward(params, cfg, catch, cache, return_hidden=True)
     q0 = norm(logits[:, -1, :])
     h0 = hidden[:, -1, :]

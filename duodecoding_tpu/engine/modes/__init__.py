@@ -1,3 +1,9 @@
 """Decoding-mode zoo. Importing this package registers every mode."""
 
-from duodecoding_tpu.engine.modes import ar, dsd, dssd, sd  # noqa: F401
+from duodecoding_tpu.engine.modes import (  # noqa: F401
+    ar,
+    dsd,
+    dssd,
+    sd,
+    tridecoding,
+)
