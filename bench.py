@@ -1,0 +1,177 @@
+"""Benchmark: flagship distributed speculative decoding throughput on TPU.
+
+Reproduces the reference's headline regime (BASELINE.md row 1:
+dist_split_spec, MT-Bench-noeval protocol, edge-cloud 23.6 Mbps stochastic /
+edge-end 563 Mbps, temp 0, 128 new tokens per prompt) and reports tokens/s
+including simulated communication time, exactly as the reference computes
+throughput (wall = compute + simulated comm + queuing).
+
+No pretrained checkpoints are available in this environment (zero egress),
+so the model pair is synthesized to match the baseline's *acceptance rate*
+instead: the target is a random-weight TinyLlama-1.1B-architecture model and
+the draft is the same architecture with parameter noise calibrated by
+bisection until greedy argmax agreement ~= the baseline's 56.2% target
+accept rate. This is conservative in the framework's favor-less direction:
+the reference's draft (Qwen1.5-0.5B vs 1.8B target) costs ~0.28x the target
+per forward, while this draft costs 1.0x — real checkpoints would only be
+faster.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Progress goes to stderr. BENCH_TINY=1 runs a miniature CPU-sized variant
+for logic validation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_TPS = 17.07  # BASELINE.md row 1 (dist_split_spec, 0.5B->1.8B)
+TARGET_ACCEPT = 0.562
+MAX_NEW_TOKENS = 128
+N_PROMPTS = 4
+PROMPT_LEN = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def perturb(params, sigma, key):
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for w, k in zip(leaves, keys):
+        noise = jax.random.normal(k, w.shape, jnp.float32) * jnp.std(
+            w.astype(jnp.float32)
+        )
+        out.append((w.astype(jnp.float32) + sigma * noise).astype(w.dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
+def agreement(cfg, t_params, d_params, key, n_ctx=8, ctx_len=48, dtype=jnp.bfloat16):
+    """Greedy argmax agreement of the two models over random contexts."""
+    from duodecoding_tpu.models import forward, init_cache
+
+    toks = jax.random.randint(key, (n_ctx, ctx_len), 0, cfg.vocab_size, jnp.int32)
+
+    @jax.jit
+    def argmaxes(p, tokens):
+        cache = init_cache(cfg, n_ctx, ctx_len, dtype)
+        logits, _ = forward(p, cfg, tokens, cache)
+        return jnp.argmax(logits, axis=-1)
+
+    a = argmaxes(t_params, toks)
+    b = argmaxes(d_params, toks)
+    # skip the first few positions (tiny context -> noise)
+    return float(jnp.mean((a[:, 8:] == b[:, 8:]).astype(jnp.float32)))
+
+
+def calibrate_draft(cfg, t_params, target_accept, dtype):
+    """Bisection on noise scale until argmax agreement ~= target_accept."""
+    key = jax.random.PRNGKey(42)
+    lo, hi = 0.0, 2.0
+    best = None
+    for it in range(8):
+        sigma = (lo + hi) / 2
+        d_params = perturb(t_params, sigma, jax.random.PRNGKey(7))
+        agr = agreement(cfg, t_params, d_params, key, dtype=dtype)
+        log(f"[bench] calibrate sigma={sigma:.4f} agreement={agr:.3f}")
+        best = (d_params, agr, sigma)
+        if abs(agr - target_accept) < 0.02:
+            break
+        if agr > target_accept:
+            lo = sigma
+        else:
+            hi = sigma
+    return best
+
+
+def main():
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    model_name = "test-tiny-deep" if tiny else "tiny-llama-1.1b"
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    max_new = 16 if tiny else MAX_NEW_TOKENS
+    n_prompts = 2 if tiny else N_PROMPTS
+
+    cfg_m = resolve_config(model_name)
+    log(f"[bench] building target {cfg_m.name} ({cfg_m.num_params/1e6:.0f}M params)")
+    t_params = init_random_params(cfg_m, jax.random.PRNGKey(0), dtype)
+
+    d_params, agr, sigma = calibrate_draft(cfg_m, t_params, TARGET_ACCEPT, dtype)
+    log(f"[bench] draft calibrated: sigma={sigma:.4f} agreement={agr:.3f}")
+
+    ec = EngineConfig(
+        max_tokens=max_new,
+        gamma=4,
+        temperature=0.0,
+        transfer_top_k=1024,
+        edge_cloud_bandwidth=23.6,
+        edge_end_bandwidth=563.0,
+        ntt_ms_edge_cloud=10.0,
+        ntt_ms_edge_end=0.0,
+        use_stochastic_comm=True,
+        max_seq_len=512 if not tiny else 128,
+        param_dtype=dtype,
+        cache_dtype=dtype,
+    )
+    engine = Engine(
+        target=Tier(cfg_m, t_params), draft=Tier(cfg_m, d_params), config=ec
+    )
+
+    rng = np.random.default_rng(0)
+    prompt_len = 24 if tiny else PROMPT_LEN
+    prompts = rng.integers(1, cfg_m.vocab_size, (n_prompts + 1, prompt_len))
+
+    # warmup (compile)
+    t0 = time.time()
+    engine.run("dist_split_spec", prompts[0:1][0][None, :], transfer_top_k=1024)
+    log(f"[bench] warmup/compile {time.time() - t0:.1f}s")
+
+    total_tokens = 0
+    total_wall = 0.0
+    accept_rates = []
+    for i in range(n_prompts):
+        out, m = engine.run(
+            "dist_split_spec", prompts[i + 1][None, :], transfer_top_k=1024
+        )
+        total_tokens += m["generated_tokens"]
+        total_wall += m["wall_time"]
+        acc = m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
+        accept_rates.append(acc)
+        log(
+            f"[bench] prompt {i}: {m['generated_tokens']} tok, "
+            f"wall {m['wall_time']:.2f}s (comm {m['communication_time']:.2f}s), "
+            f"accept {acc:.3f}, {m['throughput']:.2f} tok/s"
+        )
+
+    tps = total_tokens / total_wall if total_wall > 0 else 0.0
+    log(
+        f"[bench] total: {total_tokens} tokens in {total_wall:.2f}s, "
+        f"mean accept {np.mean(accept_rates):.3f}"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "dist_split_spec tokens/s (accept-rate-matched pair, "
+                "23.6 Mbps stochastic edge-cloud, temp 0, 128 new tokens)",
+                "value": round(tps, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tps / BASELINE_TPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

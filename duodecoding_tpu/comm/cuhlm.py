@@ -234,3 +234,49 @@ class PreciseCUHLM(CUHLMPolicy):
             for link in ("edge_cloud", "edge_end", "cloud_end")
             for u in self.stats[link]
         )
+
+
+def compressed_vocab_size_jax(
+    uncertainty: jax.Array,  # scalar f32
+    probs: jax.Array,  # [V] full prob row
+    theta: float = 0.1,
+    default_k: int = 300,
+) -> jax.Array:
+    """jnp port of ``compressed_vocab_size_for_uncertainty`` so the CUHLM
+    gate runs inside jitted decoding steps (same suffix-sum vectorization;
+    identical results on fp32 inputs)."""
+    probs = probs.astype(jnp.float32)
+    vocab = probs.shape[0]
+
+    a, b = 0.815, -0.066
+    beta_d = jnp.clip(a * uncertainty + b, 0.0, 1.0)
+    sorted_probs = jnp.sort(probs)[::-1]
+    x_d = sorted_probs[0]
+    softplus = lambda z: jnp.log1p(jnp.exp(z))
+    denominator = (1 - x_d) * softplus(-1.0) + x_d * softplus(-beta_d)
+
+    cumsum = jnp.cumsum(sorted_probs)
+    ks = jnp.arange(1, vocab)
+    topk_sum = cumsum[ks - 1]
+    residual = 1.0 - topk_sum
+    tail_count = (vocab - ks).astype(jnp.float32)
+    uniform = jnp.where(residual > 0, residual / tail_count, 0.0)
+
+    suffix = cumsum[-1] - cumsum[ks - 1]
+    asc = sorted_probs[::-1]
+    ge_total = vocab - jnp.searchsorted(asc, uniform, side="left")
+    ge_head = jnp.minimum(ge_total, ks)
+    m = ge_total - ge_head
+    idx = jnp.minimum(ks + m - 1, vocab - 1)
+    sum_ge = jnp.where(m > 0, cumsum[idx] - cumsum[ks - 1], 0.0)
+    n_lt = tail_count - m
+    sum_lt = suffix - sum_ge
+    numerator = (sum_ge - m * uniform) + (n_lt * uniform - sum_lt)
+
+    u_tv = numerator / denominator
+    ok = u_tv <= theta
+    first_ok = jnp.argmax(ok)  # first True index, 0 if none
+    any_ok = jnp.any(ok)
+    fallback = min(default_k, vocab // 100)
+    k = jnp.where(any_ok, ks[first_ok], fallback)
+    return jnp.where(denominator <= 0, 30, k).astype(jnp.int32)

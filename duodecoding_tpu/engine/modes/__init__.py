@@ -2,6 +2,7 @@
 
 from duodecoding_tpu.engine.modes import (  # noqa: F401
     ar,
+    cuhlm,
     dsd,
     dssd,
     sd,
