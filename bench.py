@@ -44,6 +44,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+@jax.jit
 def perturb(params, sigma, key):
     leaves, treedef = jax.tree.flatten(params)
     keys = jax.random.split(key, len(leaves))
@@ -56,35 +57,77 @@ def perturb(params, sigma, key):
     return jax.tree.unflatten(treedef, out)
 
 
-def agreement(cfg, t_params, d_params, key, n_ctx=8, ctx_len=48, dtype=jnp.bfloat16):
-    """Greedy argmax agreement of the two models over random contexts."""
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_ctx", "ctx_len", "dtype_name")
+)
+def _argmaxes(cfg, n_ctx, ctx_len, dtype_name, p, tokens):
     from duodecoding_tpu.models import forward, init_cache
 
-    toks = jax.random.randint(key, (n_ctx, ctx_len), 0, cfg.vocab_size, jnp.int32)
-
-    @jax.jit
-    def argmaxes(p, tokens):
-        cache = init_cache(cfg, n_ctx, ctx_len, dtype)
-        logits, _ = forward(p, cfg, tokens, cache)
-        return jnp.argmax(logits, axis=-1)
-
-    a = argmaxes(t_params, toks)
-    b = argmaxes(d_params, toks)
-    # skip the first few positions (tiny context -> noise)
-    return float(jnp.mean((a[:, 8:] == b[:, 8:]).astype(jnp.float32)))
+    cache = init_cache(cfg, n_ctx, ctx_len, jnp.dtype(dtype_name))
+    logits, _ = forward(p, cfg, tokens, cache)
+    return jnp.argmax(logits, axis=-1)
 
 
-def calibrate_draft(cfg, t_params, target_accept, dtype):
-    """Bisection on noise scale until argmax agreement ~= target_accept."""
-    key = jax.random.PRNGKey(42)
-    lo, hi = 0.0, 2.0
+def make_eval_contexts(cfg, t_params, key, n_ctx, prompt_len, gen_len, dtype):
+    """Contexts ON the target's own greedy trajectories — random-token
+    contexts overestimate decode-time agreement badly (observed 0.50 static
+    vs 0.22 during decoding)."""
+    from duodecoding_tpu.engine.loops import ar_generate, prefill
+    from duodecoding_tpu.engine.sampling_config import SamplingConfig
+    from duodecoding_tpu.models import init_cache
+
+    S = prompt_len + gen_len
+    prompts = jax.random.randint(key, (n_ctx, prompt_len), 1, cfg.vocab_size, jnp.int32)
+    tokens = jnp.zeros((n_ctx, S), jnp.int32).at[:, :prompt_len].set(prompts)
+    cache = init_cache(cfg, n_ctx, S, dtype)
+    cache = prefill(t_params, cfg, cache, tokens[:, :prompt_len])
+    out, n, _, _ = ar_generate(
+        t_params,
+        cfg=cfg,
+        tokens=tokens,
+        cache=cache,
+        n_tokens=jnp.int32(prompt_len),
+        key=jax.random.PRNGKey(0),
+        sampling=SamplingConfig(0.0),
+        max_new_tokens=gen_len,
+    )
+    return out
+
+
+def agreement(cfg, t_params, d_params, contexts, dtype=jnp.bfloat16, skip=16):
+    """Greedy argmax agreement, teacher-forced on target-generated
+    trajectories (decode-distribution-matched)."""
+    n_ctx, ctx_len = contexts.shape
+    dn = jnp.dtype(dtype).name
+    a = _argmaxes(cfg, n_ctx, ctx_len, dn, t_params, contexts)
+    b = _argmaxes(cfg, n_ctx, ctx_len, dn, d_params, contexts)
+    return float(jnp.mean((a[:, skip:] == b[:, skip:]).astype(jnp.float32)))
+
+
+def calibrate_draft(cfg, t_params, target_accept, dtype, tiny=False):
+    """Bisection on noise scale until trajectory agreement ~= target_accept."""
+    contexts = make_eval_contexts(
+        cfg,
+        t_params,
+        jax.random.PRNGKey(42),
+        n_ctx=4,
+        prompt_len=16 if tiny else 32,
+        gen_len=16 if tiny else 64,
+        dtype=dtype,
+    )
+    skip = 16 if not tiny else 8
+    lo, hi = 0.0, 0.5
     best = None
-    for it in range(8):
+    for it in range(10):
         sigma = (lo + hi) / 2
         d_params = perturb(t_params, sigma, jax.random.PRNGKey(7))
-        agr = agreement(cfg, t_params, d_params, key, dtype=dtype)
+        agr = agreement(cfg, t_params, d_params, contexts, dtype=dtype, skip=skip)
         log(f"[bench] calibrate sigma={sigma:.4f} agreement={agr:.3f}")
-        best = (d_params, agr, sigma)
+        if best is None or abs(agr - target_accept) < abs(best[1] - target_accept):
+            best = (d_params, agr, sigma)
         if abs(agr - target_accept) < 0.02:
             break
         if agr > target_accept:
@@ -108,7 +151,7 @@ def main():
     log(f"[bench] building target {cfg_m.name} ({cfg_m.num_params/1e6:.0f}M params)")
     t_params = init_random_params(cfg_m, jax.random.PRNGKey(0), dtype)
 
-    d_params, agr, sigma = calibrate_draft(cfg_m, t_params, TARGET_ACCEPT, dtype)
+    d_params, agr, sigma = calibrate_draft(cfg_m, t_params, TARGET_ACCEPT, dtype, tiny)
     log(f"[bench] draft calibrated: sigma={sigma:.4f} agreement={agr:.3f}")
 
     ec = EngineConfig(

@@ -19,6 +19,7 @@ the sampling math.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -58,7 +59,19 @@ def rollback(cache: KVCache, end_pos: jax.Array) -> KVCache:
 
 
 def init_random_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
-    """Random-init parameters at the true architecture (bench/test use)."""
+    """Random-init parameters at the true architecture (bench/test use).
+
+    Runs as ONE jitted program — a single dispatch/compile even on
+    remote-compile backends."""
+    return _init_random_params_jit(cfg, jnp.dtype(dtype).name, key)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype_name"))
+def _init_random_params_jit(cfg: ModelConfig, dtype_name: str, key: jax.Array):
+    return _init_random_params_impl(cfg, key, jnp.dtype(dtype_name))
+
+
+def _init_random_params_impl(cfg: ModelConfig, key: jax.Array, dtype):
     d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     hd, h, hkv, L = cfg.head_dim_, cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
     ks = jax.random.split(key, 10)
