@@ -107,30 +107,60 @@ def agreement(cfg, t_params, d_params, contexts, dtype=jnp.bfloat16, skip=16):
     return float(jnp.mean((a[:, skip:] == b[:, skip:]).astype(jnp.float32)))
 
 
-def calibrate_draft(cfg, t_params, target_accept, dtype, tiny=False):
-    """Bisection on noise scale until trajectory agreement ~= target_accept."""
-    contexts = make_eval_contexts(
-        cfg,
+def measure_accept_rate(cfg, t_params, d_params, gamma, dtype, tiny):
+    """Ground truth: accepted/drafted from an actual short SD run (per-
+    position agreement compounds geometrically over the draft window, so
+    static agreement badly overpredicts the SD accept rate)."""
+    from duodecoding_tpu.engine.loops import prefill, sd_generate
+    from duodecoding_tpu.engine.sampling_config import SamplingConfig
+    from duodecoding_tpu.models import init_cache
+
+    S = 128 if tiny else 256
+    L = 16 if tiny else 48
+    gen = 24 if tiny else 96
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (1, L), 1, cfg.vocab_size)
+    tokens = jnp.zeros((1, S), jnp.int32).at[:, :L].set(prompt.astype(jnp.int32))
+    d_cache = init_cache(cfg, 1, S, dtype)
+    t_cache = init_cache(cfg, 1, S, dtype)
+    d_cache = prefill(d_params, cfg, d_cache, tokens[:, :L])
+    t_cache = prefill(t_params, cfg, t_cache, tokens[:, :L])
+    _, _, rec, iters, d_steps, _ = sd_generate(
+        d_params,
         t_params,
-        jax.random.PRNGKey(42),
-        n_ctx=4,
-        prompt_len=16 if tiny else 32,
-        gen_len=16 if tiny else 64,
-        dtype=dtype,
+        tokens,
+        jnp.int32(L),
+        d_cache,
+        t_cache,
+        jax.random.PRNGKey(6),
+        draft_cfg=cfg,
+        target_cfg=cfg,
+        gamma=gamma,
+        draft_sampling=SamplingConfig(0.0),
+        target_sampling=SamplingConfig(0.0),
+        max_new_tokens=gen,
     )
-    skip = 16 if not tiny else 8
-    lo, hi = 0.0, 0.5
+    it = int(iters)
+    import numpy as _np
+
+    acc = _np.asarray(rec.accepted[:it]).sum()
+    drafted = _np.asarray(rec.actual_gamma[:it]).sum()
+    return float(acc) / max(float(drafted), 1.0)
+
+
+def calibrate_draft(cfg, t_params, target_accept, dtype, tiny=False, gamma=4):
+    """Bisection on noise scale until the MEASURED SD accept rate matches."""
+    lo, hi = 0.0, 0.25
     best = None
-    for it in range(10):
+    for it in range(8):
         sigma = (lo + hi) / 2
         d_params = perturb(t_params, sigma, jax.random.PRNGKey(7))
-        agr = agreement(cfg, t_params, d_params, contexts, dtype=dtype, skip=skip)
-        log(f"[bench] calibrate sigma={sigma:.4f} agreement={agr:.3f}")
-        if best is None or abs(agr - target_accept) < abs(best[1] - target_accept):
-            best = (d_params, agr, sigma)
-        if abs(agr - target_accept) < 0.02:
+        acc = measure_accept_rate(cfg, t_params, d_params, gamma, dtype, tiny)
+        log(f"[bench] calibrate sigma={sigma:.4f} sd-accept={acc:.3f}")
+        if best is None or abs(acc - target_accept) < abs(best[1] - target_accept):
+            best = (d_params, acc, sigma)
+        if abs(acc - target_accept) < 0.02:
             break
-        if agr > target_accept:
+        if acc > target_accept:
             lo = sigma
         else:
             hi = sigma
