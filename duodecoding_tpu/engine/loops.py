@@ -38,6 +38,7 @@ from duodecoding_tpu.ops.sampling import (
     max_fn,
     norm_logits,
     rebuild_topk_uniform_probs,
+    rebuild_topk_uniform_probs_dynamic,
     sample,
 )
 from duodecoding_tpu.ops.verify import compute_acceptance
@@ -221,6 +222,7 @@ def draft_tokens_loop(
     stop_fn=None,
     gamma_bound: jax.Array | None = None,
     catchup: int = 2,
+    stop_carry_init: jax.Array | None = None,
 ):
     """Draft up to ``gamma`` tokens, writing them into the token buffer and
     producing the q window.
@@ -243,7 +245,9 @@ def draft_tokens_loop(
     cache's valid length are bit-identical. Requires ``n_tokens >= catchup``.
 
     Returns (tokens, cache, q_window [B, gamma, V], actual_gamma, key,
-    stop_carry, n_steps).
+    stop_carry, l_window [B, gamma, V] raw logits). The logits window is
+    consumed only by the CUHLM uncertainty gate; XLA dead-code-eliminates
+    it everywhere else.
     """
     B = tokens.shape[0]
     V = cfg.vocab_size
@@ -257,9 +261,12 @@ def draft_tokens_loop(
         q = norm_logits(
             logits_row, sampling.temperature, sampling.top_k, sampling.top_p
         )
-        if rebuild_top_k is not None:
-            q = rebuild_topk_uniform_probs(q, rebuild_top_k)
-        return q
+        if rebuild_top_k is None:
+            return q
+        if isinstance(rebuild_top_k, int):
+            return rebuild_topk_uniform_probs(q, rebuild_top_k)
+        # traced k (RL-tuned transfer_top_k): rank-mask variant, no recompile
+        return rebuild_topk_uniform_probs_dynamic(q, rebuild_top_k)
 
     # catch-up: rewind to n_tokens - catchup and recompute; produces q_0 and
     # re-establishes lag 0.
@@ -272,60 +279,75 @@ def draft_tokens_loop(
     h0 = hidden[:, -1, :]
 
     q_window = jnp.zeros((B, gamma, V), jnp.float32)
-    stop_carry0 = jnp.ones((B,), jnp.float32)  # cumulative accept prob
+    l_window = jnp.zeros((B, gamma, V), jnp.float32)
+    stop_carry0 = (
+        stop_carry_init
+        if stop_carry_init is not None
+        else jnp.ones((B,), jnp.float32)  # cumulative accept prob
+    )
 
-    def emit(tokens, q_window, q_cur, h_cur, i, k_s, stop_carry):
-        """Sample draft token i from q_cur, record the row, run stop_fn."""
+    def emit(tokens, q_window, l_window, q_cur, l_cur, h_cur, i, k_s, stop_carry):
+        """Sample draft token i from q_cur, record the rows, run stop_fn."""
         tok = _sample_from_probs(k_s, q_cur, sampling)
         tokens = jax.lax.dynamic_update_slice(tokens, tok, (0, n_tokens + i))
         q_window = jax.lax.dynamic_update_slice(q_window, q_cur[:, None, :], (0, i, 0))
+        l_window = jax.lax.dynamic_update_slice(
+            l_window, l_cur[:, None, :].astype(jnp.float32), (0, i, 0)
+        )
         if stop_fn is not None:
             stop, stop_carry = stop_fn(h_cur, q_cur, tok, i, stop_carry)
         else:
             stop = jnp.zeros((), bool)
-        return tokens, q_window, tok, stop, stop_carry
+        return tokens, q_window, l_window, tok, stop, stop_carry
 
     # draft token 0 (guarded: with bound == 0 nothing is written)
     key, k0 = jax.random.split(key)
-    t_new, q_new, _, stop0, carry0 = emit(
-        tokens, q_window, q0, h0, jnp.int32(0), k0, stop_carry0
+    l0 = logits[:, -1, :]
+    t_new, q_new, l_new, _, stop0, carry0 = emit(
+        tokens, q_window, l_window, q0, l0, h0, jnp.int32(0), k0, stop_carry0
     )
     has_any = bound >= 1
     tokens = jnp.where(has_any, t_new, tokens)
     q_window = jnp.where(has_any, q_new, q_window)
+    l_window = jnp.where(has_any, l_new, l_window)
     stop0 = jnp.logical_or(~has_any, stop0 & has_any)
     stop_carry = jnp.where(has_any, carry0, stop_carry0)
 
     def body(carry):
-        tokens, cache, q_window, i, key, stopped, stop_carry, steps = carry
+        tokens, cache, q_window, l_window, i, key, stopped, stop_carry, steps = carry
         key, k_s = jax.random.split(key)
         # forward the previously sampled token to produce q_i
         prev = jax.lax.dynamic_slice(tokens, (0, n_tokens + i - 1), (B, 1))
         logits, cache, hidden = forward(params, cfg, prev, cache, return_hidden=True)
         q_cur = norm(logits[:, -1, :])
-        tokens, q_window, _, stop, stop_carry = emit(
-            tokens, q_window, q_cur, hidden[:, -1, :], i, k_s, stop_carry
+        tokens, q_window, l_window, _, stop, stop_carry = emit(
+            tokens, q_window, l_window, q_cur, logits[:, -1, :],
+            hidden[:, -1, :], i, k_s, stop_carry
         )
-        return (tokens, cache, q_window, i + 1, key, stop, stop_carry, steps + 1)
+        return (
+            tokens, cache, q_window, l_window, i + 1, key, stop, stop_carry,
+            steps + 1,
+        )
 
     def cond(carry):
-        _, _, _, i, _, stopped, _, _ = carry
+        _, _, _, _, i, _, stopped, _, _ = carry
         return jnp.logical_and(i < bound, ~stopped)
 
     init = (
         tokens,
         cache,
         q_window,
+        l_window,
         jnp.where(has_any, jnp.int32(1), jnp.int32(0)),
         key,
         stop0,
         stop_carry,
         jnp.int32(0),
     )
-    tokens, cache, q_window, actual_gamma, key, _, stop_carry, steps = (
+    tokens, cache, q_window, l_window, actual_gamma, key, _, stop_carry, steps = (
         jax.lax.while_loop(cond, body, init)
     )
-    return tokens, cache, q_window, actual_gamma, key, stop_carry, steps
+    return tokens, cache, q_window, actual_gamma, key, stop_carry, l_window
 
 
 def sd_iteration(

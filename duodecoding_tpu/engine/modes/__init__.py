@@ -1,7 +1,11 @@
 """Decoding-mode zoo. Importing this package registers every mode."""
 
 from duodecoding_tpu.engine.modes import (  # noqa: F401
+    adaptive,
     ar,
+    cee,
+    cee_cuhlm,
+    cee_dist,
     cuhlm,
     dsd,
     dssd,

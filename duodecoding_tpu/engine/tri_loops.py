@@ -58,12 +58,18 @@ class TriRecords(NamedTuple):
     draft_entropy: jax.Array  # [I]
     little_accept_rate: jax.Array  # [I]
     draft_accept_rate: jax.Array  # [I]
+    little_acc_prob: jax.Array  # [I] — ARP head last P(accept), stage 1
+    draft_acc_prob: jax.Array  # [I] — ARP head last P(accept), stage 2
 
 
 def init_tri_records(max_iters: int) -> TriRecords:
-    zi = jnp.zeros((max_iters,), jnp.int32)
-    zf = jnp.zeros((max_iters,), jnp.float32)
-    return TriRecords(zi, zi, zi, zi, zi, zi, zi, zi, zf, zf, zf, zf)
+    # distinct buffers per field — aliased arrays break donation
+    zi = lambda: jnp.zeros((max_iters,), jnp.int32)
+    zf = lambda: jnp.zeros((max_iters,), jnp.float32)
+    return TriRecords(
+        zi(), zi(), zi(), zi(), zi(), zi(), zi(), zi(), zf(), zf(), zf(), zf(),
+        zf(), zf(),
+    )
 
 
 class TriState(NamedTuple):
@@ -119,6 +125,8 @@ def tri_iteration(
     draft_stop_fn=None,
     gamma1_bound: jax.Array | None = None,
     gamma2_bound: jax.Array | None = None,
+    little_stop_carry_init: jax.Array | None = None,
+    draft_stop_carry_init: jax.Array | None = None,
 ) -> TriState:
     B = s.tokens.shape[0]
     p = s.n_tokens
@@ -141,6 +149,7 @@ def tri_iteration(
         little_stop_fn,
         gamma2_bound,
         catchup=little_catchup,
+        stop_carry_init=little_stop_carry_init,
     )
 
     # stage-1 verify: draft forward over the gamma2+1 window (positions
@@ -200,6 +209,7 @@ def tri_iteration(
         draft_stop_fn,
         gamma1_bound,
         catchup=2,
+        stop_carry_init=draft_stop_carry_init,
     )
     carried = n_after1 - p  # acc1 + 1
     total_gamma = carried + g1_act
@@ -282,6 +292,12 @@ def tri_iteration(
         ),
         draft_accept_rate=rec.draft_accept_rate.at[i].set(
             acc2 / jnp.maximum(total_gamma, 1)
+        ),
+        little_acc_prob=rec.little_acc_prob.at[i].set(
+            little_carry[0, 1] if little_carry.ndim == 2 else 0.5
+        ),
+        draft_acc_prob=rec.draft_acc_prob.at[i].set(
+            draft_carry[0, 1] if draft_carry.ndim == 2 else 0.5
         ),
     )
 

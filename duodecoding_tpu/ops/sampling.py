@@ -156,3 +156,25 @@ def max_fn(x: jax.Array) -> jax.Array:
     s = jnp.sum(x_max, axis=-1, keepdims=True)
     fallback = jax.nn.one_hot(jnp.argmax(x, axis=-1), x.shape[-1], dtype=jnp.float32)
     return jnp.where(s > 0, x_max / jnp.where(s > 0, s, 1.0), fallback)
+
+
+def rebuild_topk_uniform_probs_dynamic(probs: jax.Array, k: jax.Array) -> jax.Array:
+    """``rebuild_topk_uniform_probs`` with a TRACED k (rank-mask instead of
+    lax.top_k), so RL-tuned transfer_top_k values don't force recompiles.
+    k >= vocab or k <= 0 returns the input unchanged (same contract)."""
+    vocab = probs.shape[-1]
+    k = jnp.asarray(k, jnp.int32)
+    order = jnp.argsort(probs, axis=-1, descending=True)
+    rank = jnp.argsort(order, axis=-1)  # rank[i] = descending rank of entry i
+    keep = rank < k
+    compressed = jnp.where(keep, probs, 0.0)
+    top_k_sum = jnp.sum(compressed, axis=-1, keepdims=True)
+    residual = jnp.maximum(1.0 - top_k_sum, 0.0)
+    zero_mask = compressed == 0
+    zero_count = jnp.sum(zero_mask, axis=-1, keepdims=True)
+    uniform = jnp.where(zero_count > 0, residual / jnp.maximum(zero_count, 1), 0.0)
+    rebuilt = jnp.where(zero_mask, uniform, compressed)
+    rebuilt_sum = jnp.maximum(jnp.sum(rebuilt, axis=-1, keepdims=True), 1e-12)
+    rebuilt = rebuilt / rebuilt_sum
+    passthrough = jnp.logical_or(k <= 0, k >= vocab)
+    return jnp.where(passthrough, probs, rebuilt)
