@@ -152,12 +152,21 @@ def forward(
     scale = cfg.head_dim_**-0.5
     n_rep = cfg.num_heads // cfg.num_kv_heads
 
+    def mm(x, w):
+        """Dense or INT4-groupwise matmul (models/quant.py dicts dispatch to
+        the fused Pallas dequant+matmul kernel)."""
+        if isinstance(w, dict):
+            from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+
+            return int4_matmul(x, w).astype(x.dtype)
+        return x @ w
+
     def layer_fn(h, xs):
         lp, k_cache, v_cache = xs
         x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
-        q = x @ lp["wq"]
-        k = x @ lp["wk"]
-        v = x @ lp["wv"]
+        q = mm(x, lp["wq"])
+        k = mm(x, lp["wk"])
+        v = mm(x, lp["wv"])
         if cfg.qkv_bias:
             q = q + lp["bq"]
             k = k + lp["bk"]
@@ -188,11 +197,11 @@ def forward(
             preferred_element_type=jnp.float32,
         ).astype(h.dtype)
         ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
-        h = h + ctx @ lp["wo"]
+        h = h + mm(ctx, lp["wo"])
 
         x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu((x @ lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        h = h + (gate * (x @ lp["w_up"])) @ lp["w_down"]
+        gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
         return h, (k_cache, v_cache)
 
     h, (new_k, new_v) = jax.lax.scan(
