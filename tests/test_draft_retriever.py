@@ -1,0 +1,111 @@
+"""Native suffix-array DraftRetriever tests (builds the C++ lib on demand)."""
+
+import numpy as np
+import pytest
+
+from duodecoding_tpu.native import DraftReader, DraftWriter
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dr") / "store.bin")
+    w = DraftWriter()
+    # two sequences sharing the pattern [7, 8, 9] with known continuations
+    w.append([1, 2, 3, 7, 8, 9, 10, 11, 12])
+    w.append([4, 5, 7, 8, 9, 10, 11, 99])
+    w.append([6, 7, 8, 9, 20, 21])
+    w.finalize(path)
+    w.close()
+    r = DraftReader(path)
+    yield r
+    r.close()
+
+
+def test_store_size(store):
+    assert store.size == 9 + 8 + 6 + 3  # sequences + separators
+
+
+def test_longest_suffix_match_and_ranking(store):
+    # draft_len=2: the [10, 11] continuation occurs twice, [20, 21] once
+    conts, freqs, match_len = store.search([50, 60, 7, 8, 9], draft_len=2)
+    assert match_len == 3  # matched [7, 8, 9]
+    assert len(conts) >= 2
+    np.testing.assert_array_equal(conts[0], [10, 11])
+    assert freqs[0] == 2
+    assert freqs[0] >= freqs[-1]
+    # draft_len=3: continuations diverge at the third token -> three distinct
+    conts3, freqs3, _ = store.search([7, 8, 9], draft_len=3)
+    assert len(conts3) == 3
+    assert all(f == 1 for f in freqs3)
+
+
+def test_shorter_suffix_fallback(store):
+    # suffix [42, 9] doesn't match; falls back to [9]
+    conts, freqs, match_len = store.search([42, 9], draft_len=2)
+    assert match_len == 1
+    assert len(conts) >= 1
+
+
+def test_no_match(store):
+    conts, freqs, match_len = store.search([1000, 2000], draft_len=4)
+    assert conts == []
+
+
+def test_separator_bounds_continuations(store):
+    # continuation after [20, 21] hits the sequence boundary
+    conts, _, match_len = store.search([9, 20], draft_len=5)
+    assert match_len == 2
+    assert list(conts[0]) == [21]  # stops at the separator
+
+
+def test_large_store_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    w = DraftWriter()
+    data = rng.integers(0, 500, size=20000).astype(np.int32)
+    for i in range(0, 20000, 500):
+        w.append(data[i : i + 500])
+    path = str(tmp_path / "big.bin")
+    w.finalize(path)
+    w.close()
+    r = DraftReader(path)
+    # query with a literal slice of the data -> must find its continuation
+    q = data[1000:1010]
+    conts, freqs, match_len = r.search(q, max_suffix=10, draft_len=5)
+    assert match_len >= 5
+    assert len(conts) >= 1
+    # the true continuation appears among results
+    true_cont = data[1010:1015]
+    assert any(np.array_equal(c[: len(true_cont)], true_cont) for c in conts)
+    r.close()
+
+
+def test_rest_mode_end_to_end(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    cfg_m = resolve_config("test-tiny")
+    t = Tier(cfg_m, init_random_params(cfg_m, jax.random.PRNGKey(7), jnp.float32))
+    engine = Engine(
+        target=t,
+        config=EngineConfig(
+            max_tokens=10, gamma=3, max_seq_len=128,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    # datastore seeded with the target's own greedy continuation -> high accept
+    prompt = np.array([[5, 9, 2, 14, 27, 3, 11]], dtype=np.int32)
+    ar_out, _ = engine.run("large", prompt)
+    w = DraftWriter()
+    w.append(ar_out[0])
+    path = str(tmp_path / "ds.bin")
+    w.finalize(path)
+    w.close()
+
+    out, m = engine.run("rest", prompt, datastore=path)
+    assert m["generated_tokens"] == 10
+    # retrieval of the exact trajectory: most drafts accepted
+    assert m["draft_accepted_tokens"] >= 0.8 * m["draft_generated_tokens"]
+    np.testing.assert_array_equal(out[0], ar_out[0, : out.shape[1]])
