@@ -1,0 +1,226 @@
+"""Command-line entry point.
+
+Typed-config replacement for the reference's ~50-flag argparse monolith
+(reference: src/utils.py:248-647): flags map 1:1 where behavior matches,
+model aliases resolve through the zoo (models/config.py), ARP/RL
+checkpoint paths resolve through the registries (adaptive/registries.py).
+With no checkpoints reachable (zero-egress), ``--random_weights``
+instantiates the true architectures with random parameters so every mode
+and harness still runs end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("duodecoding-tpu")
+    # models
+    p.add_argument("--eval_mode", "-e", default="sd")
+    p.add_argument("--draft_model", "-d", default="llama-68m")
+    p.add_argument("--target_model", "-t", default="tiny-llama-1.1b")
+    p.add_argument("--little_model", "-l", default=None)
+    p.add_argument("--random_weights", action="store_true", default=False)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--quantize_draft_int4", action="store_true")
+    p.add_argument("--int4_group_size", type=int, default=128)
+    # decoding
+    p.add_argument("--max_tokens", "-n", type=int, default=128)
+    p.add_argument("--gamma", "-g", type=int, default=4)
+    p.add_argument("--gamma1", type=int, default=4)
+    p.add_argument("--gamma2", type=int, default=4)
+    p.add_argument("--temp", type=float, default=0.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.0)
+    p.add_argument("--transfer_top_k", type=int, default=1024)
+    p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=1234)
+    # network
+    p.add_argument("--edge_cloud_bandwidth", type=float, default=23.6)
+    p.add_argument("--edge_end_bandwidth", type=float, default=563.0)
+    p.add_argument("--cloud_end_bandwidth", type=float, default=float("inf"))
+    p.add_argument("--ntt_ms_edge_cloud", type=float, default=10.0)
+    p.add_argument("--ntt_ms_edge_end", type=float, default=0.0)
+    p.add_argument("--use_stochastic_comm", action="store_true")
+    p.add_argument("--use_precise", dest="use_precise_comm_sim", action="store_true")
+    p.add_argument("--batch_delay", type=float, default=0.0)
+    p.add_argument("--uncertainty_threshold", type=float, default=0.8)
+    # adaptive
+    p.add_argument("--use_adapter", action="store_true", help="enable ARP heads")
+    p.add_argument("--acc_head_path", default=None)
+    p.add_argument("--little_acc_head_path", default=None)
+    p.add_argument("--small_draft_threshold", type=float, default=0.6)
+    p.add_argument("--draft_target_threshold", type=float, default=0.6)
+    p.add_argument("--use_rl_adapter", action="store_true")
+    p.add_argument("--rl_path", default=None)
+    p.add_argument("--little_rl_path", default=None)
+    p.add_argument("--disable_rl_update", action="store_true")
+    p.add_argument("--checkpoint_root", default="checkpoints")
+    # eval
+    p.add_argument("--task", default="mt_bench")
+    p.add_argument("--sub_domain", default="mt_bench")
+    p.add_argument("--eval_data_num", type=int, default=None)
+    p.add_argument("--num_shots", type=int, default=3)
+    p.add_argument("--exp_name", default="exp/run")
+    p.add_argument("--template", default="plain")
+    p.add_argument("--use_early_stopping", action="store_true", default=True)
+    p.add_argument("--dump_network_stats", action="store_true")
+    p.add_argument("--warmup", type=int, default=2)
+    return p
+
+
+def build_engine(args):
+    import jax
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+    from duodecoding_tpu.models.quant import quantize_params
+
+    def make_tier(name, key, quantize=False):
+        if name is None:
+            return None
+        cfg = resolve_config(name)
+        if args.random_weights:
+            params = init_random_params(cfg, jax.random.PRNGKey(key))
+        else:
+            from duodecoding_tpu.models.loader import load_hf_model
+
+            try:
+                cfg, params = load_hf_model(name)
+            except Exception as e:
+                raise SystemExit(
+                    f"cannot load checkpoint for {name!r} ({e}); "
+                    "pass --random_weights for architecture-only runs"
+                )
+        if quantize:
+            params = quantize_params(params, args.int4_group_size)
+        return Tier(cfg, params)
+
+    ec = EngineConfig(
+        max_tokens=args.max_tokens,
+        gamma=args.gamma,
+        gamma1=args.gamma1,
+        gamma2=args.gamma2,
+        temperature=args.temp,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        transfer_top_k=args.transfer_top_k,
+        edge_cloud_bandwidth=args.edge_cloud_bandwidth,
+        edge_end_bandwidth=args.edge_end_bandwidth,
+        cloud_end_bandwidth=args.cloud_end_bandwidth,
+        ntt_ms_edge_cloud=args.ntt_ms_edge_cloud,
+        ntt_ms_edge_end=args.ntt_ms_edge_end,
+        use_stochastic_comm=args.use_stochastic_comm,
+        use_precise_comm_sim=args.use_precise_comm_sim,
+        batch_delay=args.batch_delay,
+        max_seq_len=args.max_seq_len,
+        seed=args.seed,
+        uncertainty_threshold=args.uncertainty_threshold,
+    )
+    return Engine(
+        target=make_tier(args.target_model, 7),
+        draft=make_tier(args.draft_model, 3, quantize=args.quantize_draft_int4),
+        little=make_tier(args.little_model, 1),
+        config=ec,
+    )
+
+
+def build_mode_kwargs(args, engine):
+    """Resolve adapters/RL per the registries, mirroring the reference's
+    path resolution (src/utils.py:594-642)."""
+    kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
+    if args.use_adapter:
+        from duodecoding_tpu.adaptive import load_arp_head
+        from duodecoding_tpu.adaptive.registries import resolve_acc_head_path
+
+        path = args.acc_head_path or resolve_acc_head_path(
+            args.draft_model, args.target_model,
+            root=os.path.join(args.checkpoint_root, "acc_heads"),
+        )
+        if path:
+            kw["arp_params" if args.little_model is None else "draft_arp_params"] = (
+                load_arp_head(path)
+            )
+        lpath = args.little_acc_head_path or (
+            args.little_model
+            and resolve_acc_head_path(
+                args.little_model, args.draft_model,
+                root=os.path.join(args.checkpoint_root, "acc_heads"),
+            )
+        )
+        if lpath:
+            kw["little_arp_params"] = load_arp_head(lpath)
+        kw["draft_threshold"] = args.draft_target_threshold
+        kw["little_threshold"] = args.small_draft_threshold
+        if args.little_model is None:
+            kw["arp_threshold"] = args.draft_target_threshold
+    if args.use_rl_adapter:
+        from duodecoding_tpu.adaptive import RLNetworkAdapter
+        from duodecoding_tpu.adaptive.registries import get_rl_agent_spec
+
+        spec = get_rl_agent_spec(
+            role="main", source=args.draft_model, target=args.target_model,
+            root=args.checkpoint_root,
+        )
+        main_rl = RLNetworkAdapter(
+            model_path=args.rl_path or spec.latest_path,
+            best_model_path=spec.best_path,
+            threshold_candidates=spec.threshold_candidates,
+            seed=args.seed,
+        )
+        if args.little_model is not None:
+            lspec = get_rl_agent_spec(
+                role="little", source=args.little_model, target=args.draft_model,
+                root=args.checkpoint_root,
+            )
+            kw["little_rl"] = RLNetworkAdapter(
+                model_path=args.little_rl_path or lspec.latest_path,
+                best_model_path=lspec.best_path,
+                threshold_candidates=lspec.threshold_candidates,
+                seed=args.seed + 1,
+            )
+            kw["main_rl"] = main_rl
+        else:
+            kw["rl_adapter"] = main_rl
+        kw["disable_rl_update"] = args.disable_rl_update
+    return kw
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    engine = build_engine(args)
+    from duodecoding_tpu.evalkit import get_task
+    from duodecoding_tpu.utils import get_tokenizer
+
+    tokenizer = get_tokenizer(
+        args.tokenizer or (None if args.random_weights else args.target_model),
+        vocab_size=engine.vocab_size,
+    )
+    task_cls = get_task(args.task)
+    task_kwargs = {}
+    if args.task == "specbench":
+        task_kwargs["sub_domain"] = args.sub_domain
+    task = task_cls(
+        engine,
+        tokenizer,
+        exp_dir=args.exp_name,
+        eval_data_num=args.eval_data_num,
+        template=args.template,
+        dump_network_stats=args.dump_network_stats,
+        use_early_stopping=args.use_early_stopping,
+        warmup=args.warmup,
+        mode_kwargs=build_mode_kwargs(args, engine),
+        **task_kwargs,
+    )
+    summary = task.run(args.eval_mode)
+    print(json.dumps(summary, indent=2, default=str))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Orchestration-layer tests: CLI end-to-end, consistency checker,
+train-manager mechanics (stagnation, checkpoint rotation, status persist)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from duodecoding_tpu.orchestrate.consistency import (
+    prefix_consistency,
+    prefix_match_ratio,
+)
+from duodecoding_tpu.orchestrate.train_manager import (
+    AutoTrainManager,
+    is_stagnant,
+    parse_training_log,
+)
+
+
+def test_prefix_match():
+    assert prefix_match_ratio("hello world", "hello there") == 6 / 11
+    assert prefix_match_ratio("same", "same") == 1.0
+    assert prefix_match_ratio("", "") == 1.0
+    assert prefix_consistency(["ab", "cd"], ["ab", "ce"]) == (1.0 + 0.5) / 2
+
+
+def test_parse_training_log_and_stagnation():
+    log = (
+        '"tokens_per_second": 12.5\n[agent] Step: 1, Loss: 0.52, Reward: 3.1\n'
+        '"tokens_per_second": 13.0\n'
+    )
+    parsed = parse_training_log(log)
+    assert parsed["tps"] == [12.5, 13.0]
+    assert parsed["loss"] == [0.52]
+    assert parsed["reward"] == [3.1]
+    assert not is_stagnant([1, 2, 3])
+    assert is_stagnant([10.0] * 8)
+    assert not is_stagnant([10, 11, 12, 13, 14, 15, 16, 17])
+
+
+def test_train_manager_rotation_and_status(tmp_path):
+    os.chdir(tmp_path)
+    agent = tmp_path / "agent.pkl"
+    agent.write_bytes(b"fake")
+    mgr = AutoTrainManager(
+        "llama",
+        [],
+        checkpoint_root=str(tmp_path / "checkpoints"),
+        status_path=str(tmp_path / "training_status.json"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    dst = mgr.rotate_best(28.22, [str(agent)])
+    assert dst is not None and "tps_28.220" in dst
+    assert os.path.exists(os.path.join(dst, "agent.pkl"))
+    # no rotation on worse TPS
+    assert mgr.rotate_best(20.0, [str(agent)]) is None
+    mgr._save_status()
+    mgr2 = AutoTrainManager(
+        "llama",
+        [],
+        status_path=str(tmp_path / "training_status.json"),
+    )
+    assert mgr2.status["best_tps"] == 28.22
+
+
+def test_cli_end_to_end(tmp_path):
+    from duodecoding_tpu.cli import main
+
+    summary = main(
+        [
+            "--eval_mode", "sd",
+            "--task", "specbench",
+            "--sub_domain", "qa",
+            "--draft_model", "test-tiny",
+            "--target_model", "test-tiny-deep",
+            "--random_weights",
+            "--max_tokens", "8",
+            "--gamma", "2",
+            "--max_seq_len", "256",
+            "--eval_data_num", "2",
+            "--warmup", "1",
+            "--exp_name", str(tmp_path / "exp"),
+        ]
+    )
+    assert summary["n_items"] == 2
+    assert summary["tokens_per_second"] > 0
+    assert os.path.exists(summary["metrics_path"])
