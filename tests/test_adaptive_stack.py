@@ -136,3 +136,40 @@ def test_registries(tmp_path):
     )
     assert spec.pair == "vicuna-68m--to--tiny-llama-1.1b"
     assert spec.latest_path.endswith("rl_agents/little/vicuna-68m--to--tiny-llama-1.1b/latest.pkl")
+
+
+def test_collect_confidence_and_train_pair(tmp_path):
+    import os
+
+    from duodecoding_tpu.adaptive.collect import collect_confidence, train_arp_for_pair
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    d_cfg = resolve_config("test-tiny")
+    t_cfg = resolve_config("test-tiny-deep")
+    engine = Engine(
+        target=Tier(t_cfg, init_random_params(t_cfg, jax.random.PRNGKey(7), jnp.float32)),
+        draft=Tier(d_cfg, init_random_params(d_cfg, jax.random.PRNGKey(3), jnp.float32)),
+        config=EngineConfig(
+            max_tokens=16, gamma=3, max_seq_len=128,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    prompts = np.array([[5, 9, 2, 14, 27, 3, 11], [8, 1, 7, 22, 3, 9, 4]])
+    hiddens, labels = collect_confidence(engine, prompts, max_new_tokens=12)
+    assert hiddens.shape[1] == d_cfg.hidden_size
+    assert hiddens.shape[0] == labels.shape[0] > 0
+    assert set(np.unique(labels)).issubset({0, 1})
+
+    os.chdir(tmp_path)
+    params, info = train_arp_for_pair(
+        engine, prompts[:1], source="test-tiny", target="test-tiny-deep",
+        width=16, epochs=3,
+    )
+    assert os.path.exists(info["path"])
+    from duodecoding_tpu.adaptive.registries import resolve_acc_head_path
+
+    assert resolve_acc_head_path(
+        "test-tiny", "test-tiny-deep",
+        registry_path="checkpoints/acc_head_registry.json",
+    ) == info["path"]
