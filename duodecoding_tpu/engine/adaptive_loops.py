@@ -34,7 +34,7 @@ from duodecoding_tpu.engine.loops import (
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.engine.tri_loops import _decision_row
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.models.transformer import KVCache, forward, set_cache_length
 from duodecoding_tpu.ops.sampling import norm_logits
 from duodecoding_tpu.ops.verify import compute_acceptance
 
@@ -164,16 +164,10 @@ def adaptive_sd_step(
     n = acc.n[0]
     tokens = jax.lax.dynamic_update_slice(tokens, next_tok, (0, n + 1))
     new_n = n + 2
-    draft_cache = KVCache(
-        draft_cache.k,
-        draft_cache.v,
-        jnp.minimum(n + 1, p + g_act - 1 + jnp.where(g_act > 0, 0, 1)).astype(
+    draft_cache = set_cache_length(draft_cache, jnp.minimum(n + 1, p + g_act - 1 + jnp.where(g_act > 0, 0, 1)).astype(
             jnp.int32
-        ),
-    )
-    target_cache = KVCache(
-        target_cache.k, target_cache.v, (n + 1).astype(jnp.int32)
-    )
+        ))
+    target_cache = set_cache_length(target_cache, (n + 1).astype(jnp.int32))
 
     emitted = new_n - p
     done = s.done | _stops_hit(tokens, p, emitted, eos_ids, gamma + 1)

@@ -30,7 +30,7 @@ from duodecoding_tpu.comm.cuhlm import (
 from duodecoding_tpu.engine.loops import _stops_hit, draft_tokens_loop, entropy
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.models.transformer import KVCache, forward, set_cache_length
 from duodecoding_tpu.ops.sampling import norm_logits, sample
 
 
@@ -179,14 +179,8 @@ def cee_cuhlm_generate(
             1,
         )
 
-        l_cache = KVCache(
-            l_cache.k, l_cache.v, jnp.minimum(n1 + 1, l_cache.length).astype(jnp.int32)
-        )
-        d_cache = KVCache(
-            d_cache.k,
-            d_cache.v,
-            jnp.where(all1, p + g2a, n1 + 1).astype(jnp.int32),
-        )
+        l_cache = set_cache_length(l_cache, jnp.minimum(n1 + 1, l_cache.length).astype(jnp.int32))
+        d_cache = set_cache_length(d_cache, jnp.where(all1, p + g2a, n1 + 1).astype(jnp.int32))
 
         # ---- stage 2: draft drafts, uncertainty-gated by target tier ----
         tokens, d_cache, q2f, g1a, key, _, dlog2 = draft_tokens_loop(
@@ -239,15 +233,9 @@ def cee_cuhlm_generate(
             1,
         )
 
-        d_cache = KVCache(
-            d_cache.k,
-            d_cache.v,
-            jnp.minimum(n2 + 1, n_after1 + g1a - 1).astype(jnp.int32),
-        )
-        l_cache = KVCache(
-            l_cache.k, l_cache.v, jnp.minimum(n2 + 1, l_cache.length).astype(jnp.int32)
-        )
-        t_cache = KVCache(t_cache.k, t_cache.v, (n2 + 1).astype(jnp.int32))
+        d_cache = set_cache_length(d_cache, jnp.minimum(n2 + 1, n_after1 + g1a - 1).astype(jnp.int32))
+        l_cache = set_cache_length(l_cache, jnp.minimum(n2 + 1, l_cache.length).astype(jnp.int32))
+        t_cache = set_cache_length(t_cache, (n2 + 1).astype(jnp.int32))
 
         emitted = new_n - p
         done = s.done | _stops_hit(tokens, p, emitted, eos_ids, gmax + 1)

@@ -35,7 +35,7 @@ from duodecoding_tpu.comm.cuhlm import (
 from duodecoding_tpu.engine.loops import _sample_from_probs, _stops_hit
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.models.transformer import KVCache, forward, set_cache_length
 from duodecoding_tpu.ops.sampling import max_fn, norm_logits
 
 
@@ -102,11 +102,7 @@ def cuhlm_generate(
         key, k_s, k_u, k_r, k_t = jax.random.split(s.key, 5)
 
         # draft one token (catch-up T=2: lag is 1 or 2)
-        d_cache = KVCache(
-            s.draft_cache.k,
-            s.draft_cache.v,
-            jnp.minimum(s.draft_cache.length, p - 2),
-        )
+        d_cache = set_cache_length(s.draft_cache, jnp.minimum(s.draft_cache.length, p - 2))
         catch = jax.lax.dynamic_slice(s.tokens, (0, p - 2), (B, 2))
         d_logits, d_cache, _ = forward(
             draft_params, draft_cfg, catch, d_cache, return_hidden=True
@@ -165,11 +161,7 @@ def cuhlm_generate(
         tokens = jax.lax.dynamic_update_slice(tokens, t_next, (0, n + 1))
         new_n = n + 2
 
-        t_cache = KVCache(
-            t_cache.k,
-            t_cache.v,
-            jnp.where(acceptedish, p + 1, p).astype(jnp.int32),
-        )
+        t_cache = set_cache_length(t_cache, jnp.where(acceptedish, p + 1, p).astype(jnp.int32))
 
         emitted = new_n - p
         done = s.done | _stops_hit(tokens, p, emitted, eos_ids, 2)

@@ -65,6 +65,7 @@ class EngineConfig:
     eos_ids: tuple[int, ...] = ()
     param_dtype: Any = jnp.bfloat16
     cache_dtype: Any = jnp.bfloat16
+    int8_kv_target: bool = False  # INT8 KV cache on the target tier
     uncertainty_threshold: float = 0.8
 
 
@@ -97,6 +98,10 @@ class Engine:
         return SamplingConfig(c.temperature, c.top_k, c.top_p)
 
     def new_cache(self, tier: Tier, batch: int = 1):
+        if self.config.int8_kv_target and tier is self.target:
+            from duodecoding_tpu.models.kv_quant import init_quant_cache
+
+            return init_quant_cache(tier.cfg, batch, self.config.max_seq_len)
         return init_cache(
             tier.cfg, batch, self.config.max_seq_len, dtype=self.config.cache_dtype
         )

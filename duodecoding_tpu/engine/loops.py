@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.models.transformer import KVCache, forward, set_cache_length
 from duodecoding_tpu.ops.sampling import (
     max_fn,
     norm_logits,
@@ -270,9 +270,7 @@ def draft_tokens_loop(
 
     # catch-up: rewind to n_tokens - catchup and recompute; produces q_0 and
     # re-establishes lag 0.
-    cache = KVCache(
-        cache.k, cache.v, jnp.minimum(cache.length, n_tokens - catchup)
-    )
+    cache = set_cache_length(cache, jnp.minimum(cache.length, n_tokens - catchup))
     catch = jax.lax.dynamic_slice(tokens, (0, n_tokens - catchup), (B, catchup))
     logits, cache, hidden = forward(params, cfg, catch, cache, return_hidden=True)
     q0 = norm(logits[:, -1, :])
@@ -443,8 +441,8 @@ def sd_iteration(
     new_n_tokens = n + 2
 
     # rollback identity: both caches to n + 1 (see module docstring)
-    draft_cache = KVCache(draft_cache.k, draft_cache.v, (n + 1).astype(jnp.int32))
-    target_cache = KVCache(target_cache.k, target_cache.v, (n + 1).astype(jnp.int32))
+    draft_cache = set_cache_length(draft_cache, (n + 1).astype(jnp.int32))
+    target_cache = set_cache_length(target_cache, (n + 1).astype(jnp.int32))
 
     emitted = new_n_tokens - prefix_len
     done = s.done | _stops_hit(tokens, prefix_len, emitted, eos_ids, gamma + 1)

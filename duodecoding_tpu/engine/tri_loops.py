@@ -40,7 +40,7 @@ from duodecoding_tpu.engine.loops import (
 )
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import KVCache, forward
+from duodecoding_tpu.models.transformer import KVCache, forward, set_cache_length
 from duodecoding_tpu.ops.sampling import max_fn, norm_logits
 from duodecoding_tpu.ops.verify import compute_acceptance
 
@@ -182,18 +182,10 @@ def tri_iteration(
     n_after1 = n1 + 2
 
     # rollbacks with the reference clamps
-    little_cache = KVCache(
-        little_cache.k,
-        little_cache.v,
-        jnp.minimum(n1 + 1, little_cache.length).astype(jnp.int32),
-    )
-    draft_cache = KVCache(
-        draft_cache.k,
-        draft_cache.v,
-        jnp.minimum(n1 + 1 + s1_all[0].astype(jnp.int32), p + g2_act).astype(
+    little_cache = set_cache_length(little_cache, jnp.minimum(n1 + 1, little_cache.length).astype(jnp.int32))
+    draft_cache = set_cache_length(draft_cache, jnp.minimum(n1 + 1 + s1_all[0].astype(jnp.int32), p + g2_act).astype(
             jnp.int32
-        ),
-    )
+        ))
 
     # ---- stage 2: draft drafts gamma1 more ----
     tokens, draft_cache, q2_fresh, g1_act, key, draft_carry, _ = draft_tokens_loop(
@@ -251,19 +243,9 @@ def tri_iteration(
     new_n = n2 + 2
 
     draft_valid = n_after1 + g1_act - 1
-    draft_cache = KVCache(
-        draft_cache.k,
-        draft_cache.v,
-        jnp.minimum(n2 + 1, draft_valid).astype(jnp.int32),
-    )
-    little_cache = KVCache(
-        little_cache.k,
-        little_cache.v,
-        jnp.minimum(n2 + 1, little_cache.length).astype(jnp.int32),
-    )
-    target_cache = KVCache(
-        target_cache.k, target_cache.v, (n2 + 1).astype(jnp.int32)
-    )
+    draft_cache = set_cache_length(draft_cache, jnp.minimum(n2 + 1, draft_valid).astype(jnp.int32))
+    little_cache = set_cache_length(little_cache, jnp.minimum(n2 + 1, little_cache.length).astype(jnp.int32))
+    target_cache = set_cache_length(target_cache, (n2 + 1).astype(jnp.int32))
 
     emitted = new_n - p
     done = s.done | _stops_hit(tokens, p, emitted, eos_ids, gmax + 1)

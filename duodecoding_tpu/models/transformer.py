@@ -47,6 +47,12 @@ def init_cache(
     )
 
 
+def set_cache_length(cache, length):
+    """Reset a (dense or int8-quantized) cache's valid length — the
+    universal rollback primitive (pure bookkeeping, no data movement)."""
+    return cache._replace(length=jnp.asarray(length, jnp.int32))
+
+
 def rollback(cache: KVCache, end_pos: jax.Array) -> KVCache:
     """Reset the cache to ``end_pos`` valid positions (pure index bookkeeping).
 
@@ -55,7 +61,7 @@ def rollback(cache: KVCache, end_pos: jax.Array) -> KVCache:
     starts at ``length`` and overwrites/masks stale positions.
     """
     end = jnp.minimum(jnp.asarray(end_pos, jnp.int32), cache.length)
-    return KVCache(k=cache.k, v=cache.v, length=end)
+    return set_cache_length(cache, end)
 
 
 def init_random_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16):
@@ -139,6 +145,13 @@ def forward(
     states when ``return_hidden`` — used by acceptance-prediction heads,
     the reference's ``hidden_states`` exposure in src/model_gpu.py).
     """
+    from duodecoding_tpu.models.kv_quant import (
+        QuantKVCache,
+        dequantize_kv,
+        quantize_kv,
+    )
+
+    quantized_kv = isinstance(cache, QuantKVCache)
     B, T = tokens.shape
     S = cache.max_len
     h = jnp.take(params["embed"], tokens, axis=0)
@@ -162,7 +175,10 @@ def forward(
         return x @ w
 
     def layer_fn(h, xs):
-        lp, k_cache, v_cache = xs
+        if quantized_kv:
+            lp, k_cache, v_cache, k_sc, v_sc = xs
+        else:
+            lp, k_cache, v_cache = xs
         x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
         q = mm(x, lp["wq"])
         k = mm(x, lp["wk"])
@@ -177,23 +193,34 @@ def forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
+        if quantized_kv:
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k_codes, (0, start, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v_codes, (0, start, 0, 0))
+            k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
+            v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
+            k_eff = dequantize_kv(k_cache, k_sc, h.dtype)
+            v_eff = dequantize_kv(v_cache, v_sc, h.dtype)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
+            k_eff, v_eff = k_cache, v_cache
 
         # GQA: group query heads over kv heads; MXU matmuls with f32 accum
         qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
         scores = jnp.einsum(
             "btgrd,bsgd->bgrts",
             qg,
-            k_cache,
+            k_eff,
             preferred_element_type=jnp.float32,
         ) * scale
         scores = jnp.where(mask[None, None, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum(
             "bgrts,bsgd->btgrd",
-            probs.astype(v_cache.dtype),
-            v_cache,
+            probs.astype(v_eff.dtype),
+            v_eff,
             preferred_element_type=jnp.float32,
         ).astype(h.dtype)
         ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
@@ -202,16 +229,24 @@ def forward(
         x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
         h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+        if quantized_kv:
+            return h, (k_cache, v_cache, k_sc, v_sc)
         return h, (k_cache, v_cache)
 
-    h, (new_k, new_v) = jax.lax.scan(
-        layer_fn, h, (params["layers"], cache.k, cache.v)
-    )
+    if quantized_kv:
+        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(layer_fn, h, xs)
+        new_cache = QuantKVCache(
+            k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
+        )
+    else:
+        h, (new_k, new_v) = jax.lax.scan(
+            layer_fn, h, (params["layers"], cache.k, cache.v)
+        )
+        new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
-
-    new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     if return_hidden:
         return logits, new_cache, h
     return logits, new_cache
