@@ -1,0 +1,180 @@
+"""Batched decode steps with PER-SLOT sequence lengths.
+
+The reference is strictly batch-1 (SURVEY appendix: `int(x.item())`
+scalarization throughout); continuous batching is a new TPU-native
+capability (BASELINE.json north star). The single-scalar ``cache.length``
+of models/transformer.py generalizes here to a per-row ``lengths [B]``
+vector: decode steps scatter each row's new KV at its own offset
+(``at[arange(B), lengths]``) and mask attention per row, so slots at
+different positions decode together in one forward.
+
+Speculative batched serving additionally drafts gamma tokens per slot and
+verifies them in one batched T=gamma+1 forward with per-row offsets —
+batched rejection sampling reuses ops/verify.compute_acceptance, which was
+batch-first from the start.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.engine.sampling_config import SamplingConfig
+from duodecoding_tpu.models.config import ModelConfig
+from duodecoding_tpu.models.transformer import _rms_norm, _rope
+from duodecoding_tpu.ops.sampling import norm_logits, sample
+
+
+class BatchedCache(NamedTuple):
+    k: jax.Array  # [L, B, S, H_kv, Dh]
+    v: jax.Array
+    lengths: jax.Array  # [B] int32 per-slot valid lengths
+
+
+def init_batched_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    return BatchedCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def forward_batched(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, T] — T new tokens per row, at row offsets
+    cache: BatchedCache,
+    active: jax.Array | None = None,  # [B] bool — inactive rows don't advance
+):
+    """Forward T tokens per row starting at each row's own length."""
+    B, T = tokens.shape
+    S = cache.k.shape[2]
+    lengths = cache.lengths
+    if active is None:
+        active = jnp.ones((B,), bool)
+
+    h = jnp.take(params["embed"], tokens, axis=0)
+    positions = lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    q_pos = positions  # [B, T]
+    k_pos = jnp.arange(S, dtype=jnp.int32)
+    mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, S]
+    scale = cfg.head_dim_**-0.5
+    n_rep = cfg.num_heads // cfg.num_kv_heads
+    rows = jnp.arange(B)
+
+    def mm(x, w):
+        if isinstance(w, dict):
+            from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+
+            return int4_matmul(x, w).astype(x.dtype)
+        return x @ w
+
+    def layer_fn(h, xs):
+        lp, k_cache, v_cache = xs
+        x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
+        q = mm(x, lp["wq"])
+        k = mm(x, lp["wk"])
+        v = mm(x, lp["wv"])
+        if cfg.qkv_bias:
+            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim_)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        # per-row scatter at [b, lengths[b] + t]
+        idx = positions  # [B, T]
+        k_new = jnp.where(active[:, None, None, None], k, 0)
+        k_cache = k_cache.at[rows[:, None], idx].set(
+            jnp.where(active[:, None, None, None], k, k_cache[rows[:, None], idx])
+        )
+        v_cache = v_cache.at[rows[:, None], idx].set(
+            jnp.where(active[:, None, None, None], v, v_cache[rows[:, None], idx])
+        )
+
+        qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
+        scores = jnp.einsum(
+            "btgrd,bsgd->bgrts", qg, k_cache, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bgrts,bsgd->btgrd",
+            probs.astype(v_cache.dtype),
+            v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
+        h = h + mm(ctx, lp["wo"])
+        x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+        h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+        return h, (k_cache, v_cache)
+
+    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
+    h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
+    new_lengths = jnp.where(active, lengths + T, lengths)
+    return logits, BatchedCache(k=new_k, v=new_v, lengths=new_lengths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "eos_ids"),
+    donate_argnames=("token_buf", "cache"),
+)
+def batched_decode_step(
+    params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    cache: BatchedCache,
+    active: jax.Array,  # [B] bool
+    key: jax.Array,
+    *,
+    cfg: ModelConfig,
+    sampling: SamplingConfig,
+    eos_ids: tuple[int, ...] = (),
+):
+    """One continuous-batching AR step: every active slot decodes one token
+    at its own position."""
+    B = token_buf.shape[0]
+    rows = jnp.arange(B)
+    last = token_buf[rows, n_tokens - 1][:, None]  # [B, 1]
+    logits, cache = forward_batched(params, cfg, last, cache, active)
+    probs = norm_logits(
+        logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+    )
+    key, k_s = jax.random.split(key)
+    if sampling.greedy:
+        tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    else:
+        tok = sample(k_s, probs)[:, 0]
+    token_buf = token_buf.at[rows, n_tokens].set(
+        jnp.where(active, tok, token_buf[rows, n_tokens])
+    )
+    n_tokens = jnp.where(active, n_tokens + 1, n_tokens)
+    finished = jnp.zeros((B,), bool)
+    for e in eos_ids:
+        finished = finished | (tok == e)
+    finished = finished & active
+    return token_buf, n_tokens, cache, key, tok, finished
+
+
+@functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
+def insert_slot(cache: BatchedCache, slot_cache, slot: int, length: jax.Array):
+    """Insert a freshly prefilled single-request cache ([L, 1, S, H, D])
+    into batch slot ``slot``."""
+    k = jax.lax.dynamic_update_slice(
+        cache.k, slot_cache.k, (0, slot, 0, 0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, slot_cache.v, (0, slot, 0, 0, 0)
+    )
+    lengths = cache.lengths.at[slot].set(length)
+    return BatchedCache(k=k, v=v, lengths=lengths)

@@ -1,0 +1,167 @@
+"""Continuous-batching request scheduler.
+
+Slots admit requests from a queue (chunked prefill off-batch, then cache
+insertion), decode together in batched steps, and retire on EOS or budget —
+the serving layer the reference lacks (its loops are strictly batch-1;
+SURVEY appendix) and the BASELINE.json scale-out path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.engine.loops import prefill
+from duodecoding_tpu.engine.sampling_config import SamplingConfig
+from duodecoding_tpu.models.config import ModelConfig
+from duodecoding_tpu.models.transformer import init_cache
+from duodecoding_tpu.serving.batched import (
+    BatchedCache,
+    batched_decode_step,
+    init_batched_cache,
+    insert_slot,
+)
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt: np.ndarray  # [L] token ids
+    max_new_tokens: int = 128
+    # filled on completion:
+    output: Optional[np.ndarray] = None
+    n_generated: int = 0
+    latency: float = 0.0
+    _t_submit: float = 0.0
+    _slot: int = -1
+    _start: int = 0
+    _deadline: int = 0
+
+
+class BatchedServer:
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        *,
+        batch_size: int = 8,
+        max_seq_len: int = 1024,
+        sampling: SamplingConfig = SamplingConfig(0.0),
+        eos_ids: tuple[int, ...] = (),
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.B = batch_size
+        self.S = max_seq_len
+        self.sampling = sampling
+        self.eos_ids = eos_ids
+        self.dtype = dtype
+        self.key = jax.random.PRNGKey(seed)
+
+        self.cache = init_batched_cache(cfg, batch_size, max_seq_len, dtype)
+        self.token_buf = jnp.zeros((batch_size, max_seq_len), jnp.int32)
+        self.n_tokens = jnp.zeros((batch_size,), jnp.int32)
+        self.active = np.zeros((batch_size,), bool)
+        self.slot_req: List[Optional[Request]] = [None] * batch_size
+        self.queue: List[Request] = []
+        self.completed: List[Request] = []
+        self._steps = 0
+        self._decoded_tokens = 0
+
+    def submit(self, req: Request) -> None:
+        req._t_submit = time.perf_counter()
+        self.queue.append(req)
+
+    # -- internals --------------------------------------------------------
+    def _admit(self) -> None:
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            L = len(req.prompt)
+            if L + req.max_new_tokens + 1 > self.S:
+                L = self.S - req.max_new_tokens - 1
+                req.prompt = req.prompt[-L:]
+            # off-batch chunked prefill into a single-slot cache
+            single = init_cache(self.cfg, 1, self.S, self.dtype)
+            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
+            single = prefill(self.params, self.cfg, single, prompt)
+            self.cache = insert_slot(self.cache, single, slot, jnp.int32(L - 1))
+            self.token_buf = self.token_buf.at[slot, :L].set(prompt[0])
+            self.n_tokens = self.n_tokens.at[slot].set(L)
+            self.active[slot] = True
+            req._slot = slot
+            req._start = L
+            req._deadline = L + req.max_new_tokens
+            self.slot_req[slot] = req
+
+    def _retire(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        n = int(self.n_tokens[slot])
+        req.output = np.asarray(self.token_buf[slot, :n])
+        req.n_generated = n - req._start
+        req.latency = time.perf_counter() - req._t_submit
+        self.completed.append(req)
+        self.slot_req[slot] = None
+        self.active[slot] = False
+
+    def step(self) -> int:
+        """Admit, decode one batched step, retire. Returns tokens decoded."""
+        self._admit()
+        if not self.active.any():
+            return 0
+        active = jnp.asarray(self.active)
+        self.token_buf, self.n_tokens, self.cache, self.key, tok, finished = (
+            batched_decode_step(
+                self.params,
+                self.token_buf,
+                self.n_tokens,
+                self.cache,
+                active,
+                self.key,
+                cfg=self.cfg,
+                sampling=self.sampling,
+                eos_ids=self.eos_ids,
+            )
+        )
+        self._steps += 1
+        decoded = int(np.asarray(active).sum())
+        self._decoded_tokens += decoded
+        fin = np.asarray(finished)
+        n_host = np.asarray(self.n_tokens)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            if fin[slot] or n_host[slot] >= req._deadline:
+                self._retire(slot)
+        return decoded
+
+    def run_until_drained(self, max_steps: int = 100000) -> Dict:
+        t0 = time.perf_counter()
+        steps = 0
+        while (self.queue or any(r is not None for r in self.slot_req)) and (
+            steps < max_steps
+        ):
+            self.step()
+            steps += 1
+        wall = time.perf_counter() - t0
+        total_gen = sum(r.n_generated for r in self.completed)
+        return {
+            "completed": len(self.completed),
+            "steps": steps,
+            "generated_tokens": total_gen,
+            "wall_time": wall,
+            "tokens_per_second": total_gen / wall if wall > 0 else 0.0,
+            "mean_batch_occupancy": self._decoded_tokens / max(self._steps, 1),
+        }

