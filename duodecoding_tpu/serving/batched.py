@@ -178,3 +178,133 @@ def insert_slot(cache: BatchedCache, slot_cache, slot: int, length: jax.Array):
     )
     lengths = cache.lengths.at[slot].set(length)
     return BatchedCache(k=k, v=v, lengths=lengths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "target_cfg", "gamma", "sampling", "eos_ids"),
+    donate_argnames=("token_buf", "d_cache", "t_cache"),
+)
+def spec_batched_step(
+    draft_params,
+    target_params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    d_cache: BatchedCache,
+    t_cache: BatchedCache,
+    active: jax.Array,  # [B] bool
+    key: jax.Array,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    gamma: int,
+    sampling: SamplingConfig,
+    eos_ids: tuple[int, ...] = (),
+):
+    """One batched speculative iteration for every active slot: draft gamma
+    tokens per row, verify them in one batched T=gamma+1 target forward,
+    and commit per-row accepted prefixes + continuation tokens. This is the
+    fully vectorized generalization of engine/loops.sd_iteration — no
+    row-0 scalarization anywhere, so slots at different depths speculate
+    together.
+    """
+    from duodecoding_tpu.ops.sampling import max_fn
+    from duodecoding_tpu.ops.verify import compute_acceptance
+
+    B, S = token_buf.shape
+    rows = jnp.arange(B)
+    p = n_tokens  # [B]
+    Vd = draft_cfg.vocab_size
+    verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+
+    # --- draft catch-up: rewind every row to p-2 and forward T=2 ---
+    d_cache = BatchedCache(
+        d_cache.k, d_cache.v, jnp.minimum(d_cache.lengths, p - 2)
+    )
+    catch_idx = p[:, None] - 2 + jnp.arange(2)[None, :]
+    catch = token_buf[rows[:, None], catch_idx]
+    logits, d_cache = forward_batched(draft_params, draft_cfg, catch, d_cache, active)
+    q_cur = norm_logits(
+        logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+    )
+
+    q_rows = []
+    for i in range(gamma):
+        key, k_s = jax.random.split(key)
+        if sampling.greedy:
+            tok = jnp.argmax(q_cur, axis=-1).astype(jnp.int32)
+        else:
+            tok = sample(k_s, q_cur)[:, 0]
+        token_buf = token_buf.at[rows, p + i].set(
+            jnp.where(active, tok, token_buf[rows, p + i])
+        )
+        q_rows.append(q_cur)
+        if i < gamma - 1:
+            logits, d_cache = forward_batched(
+                draft_params, draft_cfg, tok[:, None], d_cache, active
+            )
+            q_cur = norm_logits(
+                logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+            )
+    q_window = jnp.stack(q_rows, axis=1)  # [B, gamma, Vd]
+
+    # --- batched verify: T = gamma+1 per row from p-1 ---
+    ver_idx = p[:, None] - 1 + jnp.arange(gamma + 1)[None, :]
+    ver = token_buf[rows[:, None], ver_idx]
+    t_logits, t_cache = forward_batched(target_params, target_cfg, ver, t_cache, active)
+    p_window = norm_logits(
+        t_logits, sampling.temperature, sampling.top_k, sampling.top_p
+    )
+
+    draft_toks = token_buf[rows[:, None], p[:, None] + jnp.arange(gamma)[None, :]]
+    key, k_r, k_t = jax.random.split(key, 3)
+    r = jax.random.uniform(k_r, (B, gamma))
+    acc = compute_acceptance(
+        q_window[:, :, :verify_vocab],
+        p_window[:, :, :verify_vocab],
+        draft_toks,
+        r,
+        p,
+        gamma,
+    )
+    all_accepted = acc.accepted_count >= gamma
+    off = acc.accepted_count
+    tgt_row = jnp.take_along_axis(p_window, off[:, None, None], axis=1)[:, 0, :]
+    drf_row = jnp.take_along_axis(
+        q_window, jnp.minimum(off, gamma - 1)[:, None, None], axis=1
+    )[:, 0, :]
+    residual = max_fn(tgt_row[:, :verify_vocab] - drf_row[:, :verify_vocab])
+    if verify_vocab < target_cfg.vocab_size:
+        residual = jnp.concatenate(
+            [residual, jnp.zeros((B, target_cfg.vocab_size - verify_vocab))], axis=-1
+        )
+    final = jnp.where(all_accepted[:, None], tgt_row, residual)
+    if sampling.greedy:
+        t = jnp.argmax(final, axis=-1).astype(jnp.int32)
+    else:
+        t = sample(k_t, final)[:, 0]
+
+    n = acc.n  # [B]
+    token_buf = token_buf.at[rows, n + 1].set(
+        jnp.where(active, t, token_buf[rows, n + 1])
+    )
+    new_n = jnp.where(active, n + 2, n_tokens)
+    d_cache = BatchedCache(
+        d_cache.k, d_cache.v, jnp.where(active, n + 1, d_cache.lengths)
+    )
+    t_cache = BatchedCache(
+        t_cache.k, t_cache.v, jnp.where(active, n + 1, t_cache.lengths)
+    )
+
+    # per-row EOS over the emitted region [p, new_n)
+    finished = jnp.zeros((B,), bool)
+    for i in range(gamma + 1):
+        pos = p + i
+        tok_i = token_buf[rows, pos]
+        in_range = pos < new_n
+        for e in eos_ids:
+            finished = finished | (in_range & (tok_i == e))
+    finished = finished & active
+    emitted = jnp.where(active, new_n - p, 0)
+    accepted = jnp.where(active, acc.accepted_count, 0)
+    return token_buf, new_n, d_cache, t_cache, key, emitted, accepted, finished

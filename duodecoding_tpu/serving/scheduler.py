@@ -165,3 +165,92 @@ class BatchedServer:
             "tokens_per_second": total_gen / wall if wall > 0 else 0.0,
             "mean_batch_occupancy": self._decoded_tokens / max(self._steps, 1),
         }
+
+
+class SpecBatchedServer(BatchedServer):
+    """Continuous batching with speculative decoding: every active slot
+    drafts gamma tokens and verifies them together in one batched target
+    forward (serving/batched.py:spec_batched_step). Draft and verify
+    streams pipeline across the whole batch — the BASELINE.json scale-out
+    serving design."""
+
+    def __init__(self, draft_params, draft_cfg, target_params, target_cfg,
+                 *, gamma: int = 4, **kw):
+        super().__init__(target_params, target_cfg, **kw)
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
+        self.d_cache = init_batched_cache(
+            draft_cfg, self.B, self.S, self.dtype
+        )
+        self.total_drafted = 0
+        self.total_accepted = 0
+
+    def _admit(self) -> None:
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            L = len(req.prompt)
+            budget = self.S - req.max_new_tokens - self.gamma - 2
+            if L > budget:
+                req.prompt = req.prompt[-budget:]
+                L = budget
+            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
+            t_single = init_cache(self.cfg, 1, self.S, self.dtype)
+            t_single = prefill(self.params, self.cfg, t_single, prompt)
+            d_single = init_cache(self.draft_cfg, 1, self.S, self.dtype)
+            d_single = prefill(self.draft_params, self.draft_cfg, d_single, prompt)
+            self.cache = insert_slot(self.cache, t_single, slot, jnp.int32(L - 1))
+            self.d_cache = insert_slot(self.d_cache, d_single, slot, jnp.int32(L - 1))
+            self.token_buf = self.token_buf.at[slot, :L].set(prompt[0])
+            self.n_tokens = self.n_tokens.at[slot].set(L)
+            self.active[slot] = True
+            req._slot, req._start, req._deadline = slot, L, L + req.max_new_tokens
+            self.slot_req[slot] = req
+
+    def step(self) -> int:
+        from duodecoding_tpu.serving.batched import spec_batched_step
+
+        self._admit()
+        if not self.active.any():
+            return 0
+        active = jnp.asarray(self.active)
+        (
+            self.token_buf,
+            self.n_tokens,
+            self.d_cache,
+            self.cache,
+            self.key,
+            emitted,
+            accepted,
+            finished,
+        ) = spec_batched_step(
+            self.draft_params,
+            self.params,
+            self.token_buf,
+            self.n_tokens,
+            self.d_cache,
+            self.cache,
+            active,
+            self.key,
+            draft_cfg=self.draft_cfg,
+            target_cfg=self.cfg,
+            gamma=self.gamma,
+            sampling=self.sampling,
+            eos_ids=self.eos_ids,
+        )
+        self._steps += 1
+        em = np.asarray(emitted)
+        self._decoded_tokens += int(em.sum())
+        self.total_drafted += int(np.asarray(active).sum()) * self.gamma
+        self.total_accepted += int(np.asarray(accepted).sum())
+        fin = np.asarray(finished)
+        n_host = np.asarray(self.n_tokens)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            if fin[slot] or n_host[slot] >= req._deadline:
+                self._retire(slot)
+        return int(em.sum())
