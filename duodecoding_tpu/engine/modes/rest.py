@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine.loops import _stops_hit, prefill
+from duodecoding_tpu.models.transformer import rollback
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.registry import register_mode
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
@@ -204,6 +205,155 @@ def rest(
     m["draft_accepted_tokens"] = accepted_total
     m["loop_times"] = iters
     m["avg_draft_len"] = drafted / iters if iters else 0.0
+    m["computation_time"] = compute
+    m["wall_time"] = compute
+    return out, finalize_throughput(m)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("cache",),
+)
+def tree_forward_step(
+    target_params,
+    window_tokens: jax.Array,  # [1, W] committed tail + tree nodes (padded)
+    offsets: jax.Array,  # [W] rope offsets (tail: 0..; tree: tail_len+depth)
+    window_mask: jax.Array,  # [W, W] visibility (tail causal; tree ancestors)
+    cache: KVCache,
+    *,
+    cfg: ModelConfig,
+):
+    """One tree-attention forward; returns greedy argmax per window row and
+    the cache advanced over the whole window (the caller rolls back to the
+    valid contiguous tail)."""
+    logits, cache = forward(
+        target_params,
+        cfg,
+        window_tokens,
+        cache,
+        position_offsets=offsets,
+        window_mask=window_mask,
+    )
+    return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
+
+
+@register_mode("rest_tree")
+def rest_tree(
+    engine,
+    prefix,
+    datastore=None,
+    max_suffix: int = 16,
+    top_n: int = 4,
+    max_tree_nodes: int = 16,
+    use_early_stopping=False,
+    **kw,
+):
+    """REST with tree attention: the top-N retrieved continuations merge
+    into a prefix tree verified in ONE target forward (the reference
+    zoo's Medusa-style tree decoding, src/model/medusa/utils.py:233;
+    src/model/rest DraftRetriever tree buffers). Greedy acceptance walks
+    the tree along the target's own argmax chain — token-identical to
+    greedy AR output."""
+    from duodecoding_tpu.engine.engine import Stopwatch, block
+    from duodecoding_tpu.native import DraftReader
+    from duodecoding_tpu.ops.tree import best_greedy_path, build_draft_tree
+
+    cfg = engine.config
+    target = engine.target
+    if isinstance(datastore, str):
+        datastore = DraftReader(datastore)
+    if datastore is None:
+        raise ValueError("rest_tree requires a datastore")
+    if not engine.sampling.greedy:
+        raise NotImplementedError("rest_tree implements greedy acceptance")
+
+    tokens, L = engine.token_buffer(prefix)
+    eos = cfg.eos_ids if use_early_stopping else ()
+    gamma = cfg.gamma
+    W_tail = gamma + 2  # max uncached committed tail
+    W = W_tail + max_tree_nodes
+    cache = engine.new_cache(target)
+
+    with Stopwatch() as sw:
+        cache = prefill(target.params, target.cfg, cache, tokens[:, :L])
+
+    host_tokens = [int(t) for t in np.asarray(tokens[0, :L])]
+    n_now = L
+    limit = L + cfg.max_tokens
+    iters = drafted = accepted_total = 0
+    compute = sw.elapsed
+    done = False
+    cached = L - 1  # contiguous valid cache length
+    while n_now < limit and not done:
+        t0 = time.perf_counter()
+        conts, freqs, match_len = datastore.search(
+            np.asarray(host_tokens[-max_suffix:], np.int32),
+            max_suffix=max_suffix,
+            draft_len=gamma,
+            top_n=top_n,
+        )
+        tree = build_draft_tree(conts or [], max_tree_nodes)
+
+        # window: uncached committed tail (causal) + tree nodes
+        tail = host_tokens[cached:n_now]
+        tl = len(tail)
+        win_tokens = np.zeros((1, W), np.int32)
+        win_tokens[0, :tl] = tail
+        win_tokens[0, W_tail : W_tail + max_tree_nodes] = tree.tokens
+        offsets = np.zeros((W,), np.int32)
+        offsets[:tl] = np.arange(tl)
+        offsets[W_tail:] = tl + tree.depths
+        mask = np.zeros((W, W), bool)
+        mask[:tl, :tl] = np.tril(np.ones((tl, tl), bool))
+        mask[W_tail:, W_tail:] = tree.mask
+        mask[W_tail:, :tl] = True  # tree sees the whole committed tail
+
+        argmaxes, cache = tree_forward_step(
+            target.params,
+            jnp.asarray(win_tokens),
+            jnp.asarray(offsets),
+            jnp.asarray(mask),
+            cache,
+            cfg=target.cfg,
+        )
+        am = np.asarray(argmaxes)
+        root_pred = int(am[tl - 1])  # prediction after the last committed token
+        chain, bonus = best_greedy_path(
+            tree, am[W_tail : W_tail + max_tree_nodes], root_pred
+        )
+        budget = limit - n_now
+        chain = chain[: max(budget - 1, 0)]
+        new_toks = [int(tree.tokens[i]) for i in chain]
+        # recompute bonus if the chain was budget-truncated
+        if chain:
+            bonus = int(am[W_tail + chain[-1]])
+        else:
+            bonus = root_pred
+        new_toks.append(bonus)
+
+        for j, t in enumerate(new_toks):
+            tokens = tokens.at[0, n_now + j].set(t)
+        host_tokens.extend(new_toks)
+        drafted += tree.n_nodes
+        accepted_total += len(chain)
+        n_now += len(new_toks)
+        # cache keeps only the contiguous committed tail rows
+        cached = cached + tl
+        cache = rollback(cache, cached)
+        if eos and any(t in eos for t in new_toks):
+            done = True
+        iters += 1
+        compute += time.perf_counter() - t0
+
+    block(tokens)
+    out = np.asarray(tokens[:, :n_now])
+    m = get_empty_metrics()
+    m["generated_tokens"] = n_now - L
+    m["target_forward_times"] = iters
+    m["draft_accepted_tokens"] = accepted_total
+    m["draft_generated_tokens"] = max(drafted, accepted_total)
+    m["loop_times"] = iters
     m["computation_time"] = compute
     m["wall_time"] = compute
     return out, finalize_throughput(m)

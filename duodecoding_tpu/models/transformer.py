@@ -138,12 +138,20 @@ def forward(
     tokens: jax.Array,  # [B, T] int32
     cache: KVCache,
     return_hidden: bool = False,
+    position_offsets: jax.Array | None = None,  # [T] rope offsets from start
+    window_mask: jax.Array | None = None,  # [T, T] intra-window visibility
 ):
     """Run the transformer over ``tokens`` starting at ``cache.length``.
 
     Returns ``(logits_f32 [B, T, V], new_cache)`` (plus final-layer hidden
     states when ``return_hidden`` — used by acceptance-prediction heads,
     the reference's ``hidden_states`` exposure in src/model_gpu.py).
+
+    ``position_offsets`` / ``window_mask`` enable tree attention (Medusa /
+    REST-style multi-path verification, reference
+    src/model/medusa/utils.py:233): token i gets rope position
+    ``start + position_offsets[i]`` (its tree depth) and attends the prefix
+    plus the window positions where ``window_mask[i, j]`` (its ancestors).
     """
     from duodecoding_tpu.models.kv_quant import (
         QuantKVCache,
@@ -156,12 +164,26 @@ def forward(
     S = cache.max_len
     h = jnp.take(params["embed"], tokens, axis=0)
     start = cache.length
-    positions = start + jnp.arange(T, dtype=jnp.int32)[None, :]
+    offsets = (
+        jnp.arange(T, dtype=jnp.int32)
+        if position_offsets is None
+        else position_offsets.astype(jnp.int32)
+    )
+    positions = start + offsets[None, :]
     positions = jnp.broadcast_to(positions, (B, T))
 
-    q_pos = start + jnp.arange(T, dtype=jnp.int32)  # [T]
     k_pos = jnp.arange(S, dtype=jnp.int32)  # [S]
-    mask = k_pos[None, :] <= q_pos[:, None]  # [T, S] causal over valid region
+    if window_mask is None:
+        q_pos = start + offsets  # [T]
+        mask = k_pos[None, :] <= q_pos[:, None]  # [T, S] causal
+    else:
+        # prefix fully visible; intra-window visibility from window_mask
+        prefix_vis = k_pos[None, :] < start  # [T, S]
+        in_window = jnp.zeros((T, S), bool)
+        in_window = jax.lax.dynamic_update_slice(
+            in_window, window_mask.astype(bool), (0, start)
+        )
+        mask = prefix_vis | in_window
     scale = cfg.head_dim_**-0.5
     n_rep = cfg.num_heads // cfg.num_kv_heads
 

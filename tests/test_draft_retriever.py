@@ -109,3 +109,61 @@ def test_rest_mode_end_to_end(tmp_path):
     # retrieval of the exact trajectory: most drafts accepted
     assert m["draft_accepted_tokens"] >= 0.8 * m["draft_generated_tokens"]
     np.testing.assert_array_equal(out[0], ar_out[0, : out.shape[1]])
+
+
+def test_rest_tree_mode_lossless(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    cfg_m = resolve_config("test-tiny")
+    t = Tier(cfg_m, init_random_params(cfg_m, jax.random.PRNGKey(7), jnp.float32))
+    engine = Engine(
+        target=t,
+        config=EngineConfig(
+            max_tokens=10, gamma=3, max_seq_len=128,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    prompt = np.array([[5, 9, 2, 14, 27, 3, 11]], dtype=np.int32)
+    ar_out, _ = engine.run("large", prompt)
+    w = DraftWriter()
+    w.append(ar_out[0])
+    w.append([1, 2, 3, 4, 5])  # distractor paths
+    path = str(tmp_path / "ds.bin")
+    w.finalize(path)
+    w.close()
+
+    out, m = engine.run("rest_tree", prompt, datastore=path, top_n=4)
+    assert m["generated_tokens"] >= 10
+    np.testing.assert_array_equal(
+        out[0, : ar_out.shape[1]], ar_out[0, : out.shape[1]][: out.shape[1]]
+    )
+    # tree verification accepted drafts
+    assert m["draft_accepted_tokens"] > 0
+
+
+def test_build_draft_tree_and_greedy_walk():
+    from duodecoding_tpu.ops.tree import best_greedy_path, build_draft_tree
+
+    paths = [np.array([7, 8, 9]), np.array([7, 8, 4]), np.array([5, 6])]
+    tree = build_draft_tree(paths, max_nodes=8)
+    # shared prefix [7, 8] deduplicated: nodes 7,8,9,4,5,6 -> 6 nodes
+    assert tree.n_nodes == 6
+    # ancestor mask: node for 9 sees 7 and 8
+    idx9 = list(tree.tokens[: tree.n_nodes]).index(9)
+    idx7 = list(tree.tokens[: tree.n_nodes]).index(7)
+    assert tree.mask[idx9, idx7]
+    # greedy walk: root pred 7 -> node7; argmax at node7 = 8 -> node8;
+    # argmax at node8 = 4 -> node4; argmax at node4 = 99 -> bonus
+    am = np.zeros(8, np.int32)
+    am[idx7] = 8
+    idx8 = list(tree.tokens[: tree.n_nodes]).index(8)
+    idx4 = list(tree.tokens[: tree.n_nodes]).index(4)
+    am[idx8] = 4
+    am[idx4] = 99
+    chain, bonus = best_greedy_path(tree, am, root_pred=7)
+    assert [int(tree.tokens[i]) for i in chain] == [7, 8, 4]
+    assert bonus == 99
