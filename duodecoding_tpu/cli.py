@@ -134,6 +134,9 @@ def build_mode_kwargs(args, engine):
     """Resolve adapters/RL per the registries, mirroring the reference's
     path resolution (src/utils.py:594-642)."""
     kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
+    if args.eval_mode == "cee_cuhlm":
+        kw["little_threshold"] = args.small_draft_threshold
+        kw["draft_threshold"] = args.draft_target_threshold
     if args.use_adapter:
         from duodecoding_tpu.adaptive import load_arp_head
         from duodecoding_tpu.adaptive.registries import resolve_acc_head_path

@@ -40,3 +40,24 @@ def make_mesh(
         )
     arr = np.array(devices).reshape(data_axis, model_axis)
     return Mesh(arr, ("data", "model"))
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (the reference's `dist.init_process_group`
+    analog, src/engine.py:90-96): call once per host before building the
+    global mesh; ICI carries intra-slice collectives, DCN carries
+    inter-host traffic (the physical edge-cloud link of the deployment)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
