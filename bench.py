@@ -107,6 +107,16 @@ def agreement(cfg, t_params, d_params, contexts, dtype=jnp.bfloat16, skip=16):
     return float(jnp.mean((a[:, skip:] == b[:, skip:]).astype(jnp.float32)))
 
 
+def maybe_quantize_draft(d_params, tiny):
+    """North-star draft tier: INT4 groupwise weights (Pallas fused
+    dequant+matmul). Disabled with BENCH_NO_INT4=1 or in tiny CPU mode."""
+    if tiny or os.environ.get("BENCH_NO_INT4") == "1":
+        return d_params, False
+    from duodecoding_tpu.models.quant import quantize_params
+
+    return quantize_params(d_params, group_size=128), True
+
+
 def measure_accept_rate(cfg, t_params, d_params, gamma, dtype, tiny):
     """Ground truth: accepted/drafted from an actual short SD run (per-
     position agreement compounds geometrically over the draft window, so
@@ -182,8 +192,14 @@ def main():
     t_params = init_random_params(cfg_m, jax.random.PRNGKey(0), dtype)
 
     d_params, agr, sigma = calibrate_draft(cfg_m, t_params, TARGET_ACCEPT, dtype, tiny)
-    log(f"[bench] draft calibrated: sigma={sigma:.4f} agreement={agr:.3f}")
+    log(f"[bench] draft calibrated: sigma={sigma:.4f} sd-accept={agr:.3f}")
+    d_params, int4_draft = maybe_quantize_draft(d_params, tiny)
+    if int4_draft:
+        log("[bench] draft quantized to INT4 (groupwise, Pallas fused kernel)")
 
+    int8_kv = (not tiny) and os.environ.get("BENCH_NO_INT8KV") != "1"
+    if int8_kv:
+        log("[bench] target KV cache: INT8 (per-position scales)")
     ec = EngineConfig(
         max_tokens=max_new,
         gamma=4,
@@ -197,6 +213,7 @@ def main():
         max_seq_len=512 if not tiny else 128,
         param_dtype=dtype,
         cache_dtype=dtype,
+        int8_kv_target=int8_kv,
     )
     engine = Engine(
         target=Tier(cfg_m, t_params), draft=Tier(cfg_m, d_params), config=ec
