@@ -10,6 +10,7 @@ from duodecoding_tpu.engine.modes import (  # noqa: F401
     dsd,
     dssd,
     lookahead,
+    medusa,
     rest,
     sd,
     tridecoding,

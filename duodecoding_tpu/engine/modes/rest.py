@@ -224,18 +224,20 @@ def tree_forward_step(
     *,
     cfg: ModelConfig,
 ):
-    """One tree-attention forward; returns greedy argmax per window row and
-    the cache advanced over the whole window (the caller rolls back to the
-    valid contiguous tail)."""
-    logits, cache = forward(
+    """One tree-attention forward; returns greedy argmax per window row,
+    the final-layer hidden states (consumed by Medusa heads), and the cache
+    advanced over the whole window (the caller rolls back to the valid
+    contiguous tail)."""
+    logits, cache, hidden = forward(
         target_params,
         cfg,
         window_tokens,
         cache,
+        return_hidden=True,
         position_offsets=offsets,
         window_mask=window_mask,
     )
-    return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
+    return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), hidden[0], cache
 
 
 @register_mode("rest_tree")
@@ -309,7 +311,7 @@ def rest_tree(
         mask[W_tail:, W_tail:] = tree.mask
         mask[W_tail:, :tl] = True  # tree sees the whole committed tail
 
-        argmaxes, cache = tree_forward_step(
+        argmaxes, _hidden, cache = tree_forward_step(
             target.params,
             jnp.asarray(win_tokens),
             jnp.asarray(offsets),
