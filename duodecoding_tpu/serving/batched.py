@@ -308,3 +308,73 @@ def spec_batched_step(
     emitted = jnp.where(active, new_n - p, 0)
     accepted = jnp.where(active, acc.accepted_count, 0)
     return token_buf, new_n, d_cache, t_cache, key, emitted, accepted, finished
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "eos_ids", "max_steps"),
+    donate_argnames=("token_buf", "cache"),
+)
+def batched_decode_multi_step(
+    params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    cache: BatchedCache,
+    active: jax.Array,  # [B] bool
+    deadlines: jax.Array,  # [B] int32 per-slot token limits
+    key: jax.Array,
+    *,
+    cfg: ModelConfig,
+    sampling: SamplingConfig,
+    eos_ids: tuple[int, ...] = (),
+    max_steps: int = 8,
+):
+    """Fuse up to ``max_steps`` AR steps in ONE dispatch: the device loop
+    exits as soon as any slot finishes (EOS or deadline) so the host can
+    retire/admit. Amortizes host-dispatch latency ~max_steps-fold when the
+    batch is in steady state."""
+    B = token_buf.shape[0]
+    rows = jnp.arange(B)
+
+    def cond(carry):
+        token_buf, n_tokens, cache, act, key, finished, i = carry
+        return jnp.logical_and(
+            jnp.logical_and(i < max_steps, ~jnp.any(finished)),
+            jnp.any(act),
+        )
+
+    def body(carry):
+        token_buf, n_tokens, cache, act, key, finished, i = carry
+        last = token_buf[rows, n_tokens - 1][:, None]
+        logits, cache = forward_batched(params, cfg, last, cache, act)
+        probs = norm_logits(
+            logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
+        )
+        key, k_s = jax.random.split(key)
+        if sampling.greedy:
+            tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            tok = sample(k_s, probs)[:, 0]
+        token_buf = token_buf.at[rows, n_tokens].set(
+            jnp.where(act, tok, token_buf[rows, n_tokens])
+        )
+        n_tokens = jnp.where(act, n_tokens + 1, n_tokens)
+        fin = jnp.zeros((B,), bool)
+        for e in eos_ids:
+            fin = fin | (tok == e)
+        fin = (fin | (n_tokens >= deadlines)) & act
+        return (token_buf, n_tokens, cache, act, key, finished | fin, i + 1)
+
+    init = (
+        token_buf,
+        n_tokens,
+        cache,
+        active,
+        key,
+        jnp.zeros((B,), bool),
+        jnp.int32(0),
+    )
+    token_buf, n_tokens, cache, _, key, finished, steps = jax.lax.while_loop(
+        cond, body, init
+    )
+    return token_buf, n_tokens, cache, key, finished, steps

@@ -254,3 +254,60 @@ class SpecBatchedServer(BatchedServer):
             if fin[slot] or n_host[slot] >= req._deadline:
                 self._retire(slot)
         return int(em.sum())
+
+
+class MultiStepBatchedServer(BatchedServer):
+    """BatchedServer that fuses up to ``steps_per_dispatch`` decode steps
+    per device dispatch (serving/batched.py:batched_decode_multi_step) —
+    the device loop exits early when any slot hits EOS or its deadline, so
+    scheduling decisions stay step-accurate while host round-trips
+    amortize."""
+
+    def __init__(self, *args, steps_per_dispatch: int = 8, **kw):
+        super().__init__(*args, **kw)
+        self.steps_per_dispatch = steps_per_dispatch
+
+    def step(self) -> int:
+        from duodecoding_tpu.serving.batched import batched_decode_multi_step
+
+        self._admit()
+        if not self.active.any():
+            return 0
+        active = jnp.asarray(self.active)
+        deadlines = np.zeros((self.B,), np.int32)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            deadlines[slot] = req._deadline if req is not None else 0
+        before = np.asarray(self.n_tokens)
+        (
+            self.token_buf,
+            self.n_tokens,
+            self.cache,
+            self.key,
+            finished,
+            steps,
+        ) = batched_decode_multi_step(
+            self.params,
+            self.token_buf,
+            self.n_tokens,
+            self.cache,
+            active,
+            jnp.asarray(deadlines),
+            self.key,
+            cfg=self.cfg,
+            sampling=self.sampling,
+            eos_ids=self.eos_ids,
+            max_steps=self.steps_per_dispatch,
+        )
+        n_host = np.asarray(self.n_tokens)
+        decoded = int((n_host - before).sum())
+        self._steps += int(steps)
+        self._decoded_tokens += decoded
+        fin = np.asarray(finished)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            if fin[slot] or n_host[slot] >= req._deadline:
+                self._retire(slot)
+        return decoded

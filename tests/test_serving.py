@@ -96,3 +96,23 @@ def test_spec_batched_lossless_vs_sequential(params):
     # speculation happened and some drafts were accepted
     assert server.total_drafted > 0
     assert 0 <= server.total_accepted <= server.total_drafted
+
+
+def test_multistep_server_matches_sequential(params):
+    from duodecoding_tpu.serving.scheduler import MultiStepBatchedServer
+
+    server = MultiStepBatchedServer(
+        params, CFG, batch_size=2, max_seq_len=128,
+        sampling=SamplingConfig(0.0), dtype=jnp.float32,
+        steps_per_dispatch=4,
+    )
+    prompts = [[5, 9, 2, 14, 27], [8, 1, 7, 22, 3, 9, 4], [11, 12, 13]]
+    for i, p in enumerate(prompts):
+        server.submit(Request(i, np.asarray(p, np.int32), max_new_tokens=10))
+    stats = server.run_until_drained()
+    assert stats["completed"] == 3
+    by_id = {r.request_id: r for r in server.completed}
+    for i, p in enumerate(prompts):
+        ref = _reference_ar(params, p, 10)
+        np.testing.assert_array_equal(by_id[i].output, ref)
+        assert by_id[i].n_generated == 10
