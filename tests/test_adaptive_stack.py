@@ -138,7 +138,7 @@ def test_registries(tmp_path):
     assert spec.latest_path.endswith("rl_agents/little/vicuna-68m--to--tiny-llama-1.1b/latest.pkl")
 
 
-def test_collect_confidence_and_train_pair(tmp_path):
+def test_collect_confidence_and_train_pair(tmp_path, monkeypatch):
     import os
 
     from duodecoding_tpu.adaptive.collect import collect_confidence, train_arp_for_pair
@@ -161,7 +161,7 @@ def test_collect_confidence_and_train_pair(tmp_path):
     assert hiddens.shape[0] == labels.shape[0] > 0
     assert set(np.unique(labels)).issubset({0, 1})
 
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     params, info = train_arp_for_pair(
         engine, prompts[:1], source="test-tiny", target="test-tiny-deep",
         width=16, epochs=3,

@@ -39,8 +39,8 @@ def test_parse_training_log_and_stagnation():
     assert not is_stagnant([10, 11, 12, 13, 14, 15, 16, 17])
 
 
-def test_train_manager_rotation_and_status(tmp_path):
-    os.chdir(tmp_path)
+def test_train_manager_rotation_and_status(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
     agent = tmp_path / "agent.pkl"
     agent.write_bytes(b"fake")
     mgr = AutoTrainManager(
