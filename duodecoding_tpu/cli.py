@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_early_stopping", action="store_true", default=True)
     p.add_argument("--dump_network_stats", action="store_true")
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX platform (overrides environment plugins)")
     return p
 
 
@@ -196,6 +198,10 @@ def build_mode_kwargs(args, engine):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     engine = build_engine(args)
     from duodecoding_tpu.evalkit import get_task
     from duodecoding_tpu.utils import get_tokenizer

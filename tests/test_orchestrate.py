@@ -86,3 +86,33 @@ def test_cli_end_to_end(tmp_path):
     assert summary["n_items"] == 2
     assert summary["tokens_per_second"] > 0
     assert os.path.exists(summary["metrics_path"])
+
+
+def test_exp_runner_subprocess_end_to_end(tmp_path):
+    from duodecoding_tpu.orchestrate.exp_runner import ExpConfig, run_experiments
+
+    cfg = ExpConfig(
+        eval_mode="sd",
+        task="specbench",
+        draft_model="test-tiny",
+        target_model="test-tiny-deep",
+        max_tokens=8,
+        gamma=2,
+        eval_data_num=1,
+        random_weights=True,
+        exp_name=str(tmp_path / "exp"),
+        extra_args=("--sub_domain", "qa", "--max_seq_len", "256", "--warmup", "0",
+                    "--platform", "cpu"),
+    )
+    out = run_experiments(
+        [cfg],
+        log_dir=str(tmp_path / "logs"),
+        summary_dir=str(tmp_path),
+        timeout=500,
+        repo_root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out["n_runs"] == 1
+    res = out["results"][0]
+    assert res["status"] == "success", open(res["log"]).read()[-2000:]
+    assert res["summary"]["tokens_per_second"] > 0
+    assert os.path.exists(out["summary_path"])
