@@ -57,7 +57,7 @@ def medusa_apply(heads, hidden: jax.Array) -> jax.Array:
 
 
 def collect_distill_data(
-    params, cfg, prompts: np.ndarray, max_new: int, num_heads: int, dtype=jnp.float32
+    params, cfg, prompts: np.ndarray, max_new: int, num_heads: int, dtype=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy rollouts of the target; returns (hiddens [N, H],
     labels [N, K]) where labels[:, k] = the token k+2 steps ahead of the
@@ -69,6 +69,8 @@ def collect_distill_data(
 
     B, L = prompts.shape
     S = L + max_new
+    if dtype is None:
+        dtype = params["embed"].dtype  # match the model's compute dtype
     tokens = jnp.zeros((B, S), jnp.int32).at[:, :L].set(jnp.asarray(prompts))
     cache = init_cache(cfg, B, S, dtype)
     cache = prefill(params, cfg, cache, tokens[:, :L])

@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--small_draft_threshold", type=float, default=0.6)
     p.add_argument("--draft_target_threshold", type=float, default=0.6)
     p.add_argument("--use_rl_adapter", action="store_true")
+    # head-based drafting modes (medusa / hydra / eagle / eagle2): heads are
+    # self-distilled from the target at startup unless a path is given
+    p.add_argument("--distill_prompts", type=int, default=4)
+    p.add_argument("--distill_new", type=int, default=48)
+    p.add_argument("--distill_epochs", type=int, default=40)
+    p.add_argument("--num_draft_heads", type=int, default=3)
+    p.add_argument("--eagle_depth", type=int, default=4)
+    p.add_argument("--eagle_topk", type=int, default=8)
     p.add_argument("--rl_path", default=None)
     p.add_argument("--little_rl_path", default=None)
     p.add_argument("--disable_rl_update", action="store_true")
@@ -132,10 +140,89 @@ def build_engine(args):
     )
 
 
+def _self_distill_heads(args, engine):
+    """Train drafting heads for head-based modes at startup by
+    self-distillation on the target's own greedy rollouts (no external
+    data — the reference ships pre-trained Medusa/EAGLE/Hydra checkpoints;
+    with zero egress the heads are fit in-process instead)."""
+    import sys
+
+    import numpy as np
+    import jax
+
+    target = engine.target
+    cfg = target.cfg
+    rng = np.random.default_rng(args.seed)
+    prompts = rng.integers(
+        1, cfg.vocab_size, (args.distill_prompts, 8), dtype=np.int64
+    )
+    mode = args.eval_mode
+    print(f"[cli] self-distilling {mode} heads...", file=sys.stderr)
+    if mode == "medusa":
+        from duodecoding_tpu.adaptive.medusa import (
+            collect_distill_data, init_medusa_heads, train_medusa_heads,
+        )
+
+        hiddens, labels = collect_distill_data(
+            target.params, cfg, prompts, args.distill_new, args.num_draft_heads
+        )
+        heads = init_medusa_heads(
+            jax.random.PRNGKey(args.seed), cfg.hidden_size, cfg.vocab_size,
+            args.num_draft_heads,
+        )
+        heads, loss = train_medusa_heads(
+            heads, hiddens, labels, epochs=args.distill_epochs
+        )
+        print(f"[cli] medusa distill loss {loss:.3f}", file=sys.stderr)
+        return {"medusa_heads": heads}
+    if mode == "hydra":
+        from duodecoding_tpu.adaptive.hydra import (
+            collect_hydra_data, init_hydra_heads, train_hydra_heads,
+        )
+
+        hiddens, tws, labels = collect_hydra_data(
+            target.params, cfg, prompts, args.distill_new, args.num_draft_heads
+        )
+        heads = init_hydra_heads(
+            jax.random.PRNGKey(args.seed), cfg.hidden_size, cfg.vocab_size,
+            args.num_draft_heads,
+        )
+        heads, loss = train_hydra_heads(
+            heads, target.params["embed"], hiddens, tws, labels,
+            epochs=args.distill_epochs,
+        )
+        print(f"[cli] hydra distill loss {loss:.3f}", file=sys.stderr)
+        return {"hydra_heads": heads}
+    # eagle / eagle2
+    from duodecoding_tpu.adaptive.eagle import (
+        collect_eagle_data, init_eagle_params, train_eagle,
+    )
+
+    data = collect_eagle_data(target.params, cfg, prompts, args.distill_new)
+    head = (
+        target.params["embed"].T
+        if cfg.tie_word_embeddings
+        else target.params["lm_head"]
+    )
+    eparams = init_eagle_params(jax.random.PRNGKey(args.seed), cfg)
+    eparams, loss = train_eagle(
+        eparams, cfg, target.params["embed"], head, *data,
+        epochs=max(args.distill_epochs * 3, 60),
+    )
+    print(f"[cli] eagle distill loss {loss:.3f}", file=sys.stderr)
+    return {
+        "eagle_params": eparams,
+        "depth": args.eagle_depth,
+        "top_k": args.eagle_topk,
+    }
+
+
 def build_mode_kwargs(args, engine):
     """Resolve adapters/RL per the registries, mirroring the reference's
     path resolution (src/utils.py:594-642)."""
     kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
+    if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2"):
+        kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":
         kw["little_threshold"] = args.small_draft_threshold
         kw["draft_threshold"] = args.draft_target_threshold

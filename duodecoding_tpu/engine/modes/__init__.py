@@ -9,6 +9,7 @@ from duodecoding_tpu.engine.modes import (  # noqa: F401
     cuhlm,
     dsd,
     dssd,
+    eagle,
     lookahead,
     medusa,
     rest,

@@ -31,28 +31,31 @@ from duodecoding_tpu.models.transformer import rollback
 from duodecoding_tpu.ops.tree import best_greedy_path, build_draft_tree
 
 
-@register_mode("medusa")
-def medusa(
+def head_tree_mode_core(
     engine,
     prefix,
-    medusa_heads=None,
-    top_per_head=(3, 2, 2),
-    max_tree_nodes: int = 16,
-    use_early_stopping=False,
-    **kw,
+    propose_fn,
+    *,
+    tail_span: int,
+    max_tree_nodes: int,
+    use_early_stopping: bool,
+    mode_name: str,
 ):
-    from duodecoding_tpu.adaptive.medusa import generate_candidates, medusa_apply
+    """Shared loop for hidden-state-head drafting modes (medusa, hydra):
+    per iteration, ONE tree-attention target forward verifies the current
+    candidate tree (greedy walk — token-identical to greedy AR), then
+    ``propose_fn(h_last, bonus_token) -> candidate paths`` builds the next
+    tree from the hidden state at the decision position."""
     from duodecoding_tpu.engine.engine import Stopwatch, block
 
     cfg = engine.config
     target = engine.target
     if not engine.sampling.greedy:
-        raise NotImplementedError("medusa mode implements greedy acceptance")
+        raise NotImplementedError(f"{mode_name} implements greedy acceptance")
 
     tokens, L = engine.token_buffer(prefix)
     eos = cfg.eos_ids if use_early_stopping else ()
-    num_heads = len(medusa_heads) if medusa_heads else 0
-    W_tail = max(num_heads, 1) + 2
+    W_tail = tail_span + 2
     W = W_tail + max_tree_nodes
     cache = engine.new_cache(target)
     with Stopwatch() as sw:
@@ -106,16 +109,8 @@ def medusa(
         new_toks.append(bonus)
 
         # propose the next tree from the hidden at the decision position
-        if medusa_heads:
-            h_idx = (W_tail + chain[-1]) if chain else (tl - 1)
-            h_last = np.asarray(hidden[h_idx])
-            head_logits = np.asarray(
-                medusa_apply(medusa_heads, jnp.asarray(h_last))
-            )
-            # head 0 predicts the token AFTER the bonus token
-            candidates = generate_candidates(head_logits, list(top_per_head))
-        else:
-            candidates = []
+        h_idx = (W_tail + chain[-1]) if chain else (tl - 1)
+        candidates = propose_fn(np.asarray(hidden[h_idx]), bonus)
 
         for j, t in enumerate(new_toks):
             tokens = tokens.at[0, n_now + j].set(t)
@@ -138,6 +133,74 @@ def medusa(
     m["draft_generated_tokens"] = drafted
     m["draft_accepted_tokens"] = accepted_total
     m["loop_times"] = iters
+    m["avg_draft_len"] = drafted / iters if iters else 0.0
     m["computation_time"] = compute
     m["wall_time"] = compute
     return out, finalize_throughput(m)
+
+
+@register_mode("medusa")
+def medusa(
+    engine,
+    prefix,
+    medusa_heads=None,
+    top_per_head=(3, 2, 2),
+    max_tree_nodes: int = 16,
+    use_early_stopping=False,
+    **kw,
+):
+    from duodecoding_tpu.adaptive.medusa import generate_candidates, medusa_apply
+
+    def propose(h_last: np.ndarray, bonus: int):
+        if not medusa_heads:
+            return []
+        head_logits = np.asarray(medusa_apply(medusa_heads, jnp.asarray(h_last)))
+        # head 0 predicts the token AFTER the bonus token
+        return generate_candidates(head_logits, list(top_per_head))
+
+    return head_tree_mode_core(
+        engine,
+        prefix,
+        propose,
+        tail_span=max(len(medusa_heads) if medusa_heads else 0, 1),
+        max_tree_nodes=max_tree_nodes,
+        use_early_stopping=use_early_stopping,
+        mode_name="medusa",
+    )
+
+
+@register_mode("hydra")
+def hydra(
+    engine,
+    prefix,
+    hydra_heads=None,
+    widths=(3, 2, 2),
+    max_tree_nodes: int = 16,
+    use_early_stopping=False,
+    **kw,
+):
+    """Hydra sequentially-grounded heads (reference
+    src/model/hydra/hydra_model.py:43, hydra_heads/mlp_head.py:160
+    ``_grounded_proposal``): head k conditions on the tokens drafted by
+    heads 0..k-1, giving better-calibrated deep candidates than Medusa's
+    independent heads. Verification shares the tree-attention path."""
+    from duodecoding_tpu.adaptive.hydra import hydra_propose
+
+    if hydra_heads is None:
+        raise ValueError(
+            "hydra requires trained heads (adaptive.hydra.train_hydra_heads)"
+        )
+    embed = engine.target.params["embed"]
+
+    def propose(h_last: np.ndarray, bonus: int):
+        return hydra_propose(hydra_heads, embed, h_last, bonus, list(widths))
+
+    return head_tree_mode_core(
+        engine,
+        prefix,
+        propose,
+        tail_span=max(len(hydra_heads), 1),
+        max_tree_nodes=max_tree_nodes,
+        use_early_stopping=use_early_stopping,
+        mode_name="hydra",
+    )

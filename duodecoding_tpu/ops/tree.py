@@ -78,6 +78,33 @@ def build_draft_tree(paths: List[np.ndarray], max_nodes: int) -> DraftTree:
     )
 
 
+def tree_from_parents(
+    tokens: np.ndarray, parents: np.ndarray, max_nodes: int
+) -> DraftTree:
+    """Build a DraftTree directly from (token, parent-index) arrays — the
+    shape EAGLE-style beam drafting emits (parents reference earlier
+    indices; -1 = root child). Nodes beyond ``max_nodes`` are dropped;
+    since parents always precede children, index truncation keeps the tree
+    closed."""
+    n = min(len(tokens), max_nodes)
+    tok_arr = np.zeros((max_nodes,), np.int32)
+    dep_arr = np.zeros((max_nodes,), np.int32)
+    par_arr = np.full((max_nodes,), -1, np.int32)
+    mask = np.zeros((max_nodes, max_nodes), bool)
+    for i in range(n):
+        p = int(parents[i])
+        tok_arr[i] = int(tokens[i])
+        par_arr[i] = p
+        dep_arr[i] = 0 if p < 0 else dep_arr[p] + 1
+        mask[i, i] = True
+        if p >= 0:
+            mask[i] |= mask[p]
+    return DraftTree(
+        tokens=tok_arr, depths=dep_arr, mask=mask, parent=par_arr,
+        paths=[], n_nodes=n,
+    )
+
+
 def best_greedy_path(tree: DraftTree, argmax_tokens: np.ndarray, root_pred: int):
     """Walk the tree greedily: starting from the target's prediction at the
     current position (``root_pred``), follow children whose token matches
