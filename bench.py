@@ -1,29 +1,36 @@
-"""Benchmark: flagship distributed speculative decoding throughput on TPU.
+"""Benchmark: 13B-class speculative decoding speedup vs own AR on TPU.
 
-Reproduces the reference's headline regime (BASELINE.md row 1:
-dist_split_spec, MT-Bench-noeval protocol, edge-cloud 23.6 Mbps stochastic /
-edge-end 563 Mbps, temp 0, 128 new tokens per prompt) and reports tokens/s
-including simulated communication time, exactly as the reference computes
-throughput (wall = compute + simulated comm + queuing).
+Round-2 headline (BASELINE.json north star): tokens/s at a 13B target and
+speedup vs the framework's OWN autoregressive baseline measured on the
+same chip, with the flagship bit-widths in the measured path — INT4
+weight-only model (groupwise, fused Pallas dequant+matmul) and INT8 KV
+cache — plus speed-of-light accounting.
 
-No pretrained checkpoints are available in this environment (zero egress),
-so the model pair is synthesized to match the baseline's *acceptance rate*
-instead: the target is a random-weight TinyLlama-1.1B-architecture model and
-the draft is the same architecture with parameter noise calibrated by
-bisection until greedy argmax agreement ~= the baseline's 56.2% target
-accept rate. This is conservative in the framework's favor-less direction:
-the reference's draft (Qwen1.5-0.5B vs 1.8B target) costs ~0.28x the target
-per forward, while this draft costs 1.0x — real checkpoints would only be
-faster.
+Pair construction (no checkpoints in this sandbox — zero egress): the
+target is a random-weight llama-2-13b-architecture model initialised
+directly in packed INT4 (a bf16 13B would not fit one v5e's 16 GB HBM);
+the draft is a 4-of-40-layer prefix slice of the target (0.1x cost, close
+to the reference's TinyVicuna-1B/13B = 0.077 ratio, conservative in the
+reference's favor), and a single residual-scale knob is bisected until the
+MEASURED decode-time SD accept rate matches the baseline row's 56.2%
+(BASELINE.md row 1; see models/surgery.py for why this mirrors real
+pairs). AR throughput is architecture-determined, so the AR baseline is
+unaffected by the calibration.
+
+Also measured (stderr + BENCH_DETAILS.json): the round-1 regime —
+dist_split_spec with comm simulation at the baseline row's shapes
+(Qwen1.5-1.8B-architecture target, INT4 7-of-24-layer slice draft at
+~0.29x cost = the reference pair's 0.5/1.8 ratio) vs the reference's
+17.07 tok/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Progress goes to stderr. BENCH_TINY=1 runs a miniature CPU-sized variant
-for logic validation.
+Progress goes to stderr. BENCH_TINY=1 runs a miniature CPU-sized variant.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -33,10 +40,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_TPS = 17.07  # BASELINE.md row 1 (dist_split_spec, 0.5B->1.8B)
-TARGET_ACCEPT = 0.562
+TARGET_ACCEPT = 0.562  # BASELINE.md row 1 measured target-accept
+SPEEDUP_GOAL = 2.5  # BASELINE.json north star vs own AR at 13B
+DSSD_BASELINE_TPS = 17.07  # BASELINE.md row 1 (dist_split_spec 0.5B->1.8B)
 MAX_NEW_TOKENS = 128
-N_PROMPTS = 4
 PROMPT_LEN = 64
 
 
@@ -44,228 +51,329 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-@jax.jit
-def perturb(params, sigma, key):
-    leaves, treedef = jax.tree.flatten(params)
-    keys = jax.random.split(key, len(leaves))
-    out = []
-    for w, k in zip(leaves, keys):
-        noise = jax.random.normal(k, w.shape, jnp.float32) * jnp.std(
-            w.astype(jnp.float32)
-        )
-        out.append((w.astype(jnp.float32) + sigma * noise).astype(w.dtype))
-    return jax.tree.unflatten(treedef, out)
-
-
-import functools
-
-
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "n_ctx", "ctx_len", "dtype_name")
-)
-def _argmaxes(cfg, n_ctx, ctx_len, dtype_name, p, tokens):
-    from duodecoding_tpu.models import forward, init_cache
-
-    cache = init_cache(cfg, n_ctx, ctx_len, jnp.dtype(dtype_name))
-    logits, _ = forward(p, cfg, tokens, cache)
-    return jnp.argmax(logits, axis=-1)
-
-
-def make_eval_contexts(cfg, t_params, key, n_ctx, prompt_len, gen_len, dtype):
-    """Contexts ON the target's own greedy trajectories — random-token
-    contexts overestimate decode-time agreement badly (observed 0.50 static
-    vs 0.22 during decoding)."""
-    from duodecoding_tpu.engine.loops import ar_generate, prefill
-    from duodecoding_tpu.engine.sampling_config import SamplingConfig
-    from duodecoding_tpu.models import init_cache
-
-    S = prompt_len + gen_len
-    prompts = jax.random.randint(key, (n_ctx, prompt_len), 1, cfg.vocab_size, jnp.int32)
-    tokens = jnp.zeros((n_ctx, S), jnp.int32).at[:, :prompt_len].set(prompts)
-    cache = init_cache(cfg, n_ctx, S, dtype)
-    cache = prefill(t_params, cfg, cache, tokens[:, :prompt_len])
-    out, n, _, _ = ar_generate(
-        t_params,
-        cfg=cfg,
-        tokens=tokens,
-        cache=cache,
-        n_tokens=jnp.int32(prompt_len),
-        key=jax.random.PRNGKey(0),
-        sampling=SamplingConfig(0.0),
-        max_new_tokens=gen_len,
-    )
-    return out
-
-
-def agreement(cfg, t_params, d_params, contexts, dtype=jnp.bfloat16, skip=16):
-    """Greedy argmax agreement, teacher-forced on target-generated
-    trajectories (decode-distribution-matched)."""
-    n_ctx, ctx_len = contexts.shape
-    dn = jnp.dtype(dtype).name
-    a = _argmaxes(cfg, n_ctx, ctx_len, dn, t_params, contexts)
-    b = _argmaxes(cfg, n_ctx, ctx_len, dn, d_params, contexts)
-    return float(jnp.mean((a[:, skip:] == b[:, skip:]).astype(jnp.float32)))
-
-
-def maybe_quantize_draft(d_params, tiny):
-    """Optional INT4 draft tier (BENCH_INT4_DRAFT=1). OFF by default for
-    this benchmark: random weights have no outlier structure, so groupwise
-    4-bit noise collapses the calibrated argmax agreement (measured 0.56 ->
-    0.10) in a way real trained checkpoints do not exhibit — the kernel
-    itself is validated separately (tests/test_int4_quant.py and the
-    on-chip parity check in ops/pallas/int4_matmul.py)."""
-    if tiny or os.environ.get("BENCH_INT4_DRAFT") != "1":
-        return d_params, False
-    from duodecoding_tpu.models.quant import quantize_params
-
-    return quantize_params(d_params, group_size=128), True
-
-
-def measure_accept_rate(cfg, t_params, d_params, gamma, dtype, tiny):
-    """Ground truth: accepted/drafted from an actual short SD run (per-
-    position agreement compounds geometrically over the draft window, so
-    static agreement badly overpredicts the SD accept rate)."""
-    from duodecoding_tpu.engine.loops import prefill, sd_generate
-    from duodecoding_tpu.engine.sampling_config import SamplingConfig
-    from duodecoding_tpu.models import init_cache
-
-    S = 128 if tiny else 256
-    L = 16 if tiny else 48
-    gen = 24 if tiny else 96
-    prompt = jax.random.randint(jax.random.PRNGKey(5), (1, L), 1, cfg.vocab_size)
-    tokens = jnp.zeros((1, S), jnp.int32).at[:, :L].set(prompt.astype(jnp.int32))
-    d_cache = init_cache(cfg, 1, S, dtype)
-    t_cache = init_cache(cfg, 1, S, dtype)
-    d_cache = prefill(d_params, cfg, d_cache, tokens[:, :L])
-    t_cache = prefill(t_params, cfg, t_cache, tokens[:, :L])
-    _, _, rec, iters, d_steps, _ = sd_generate(
-        d_params,
-        t_params,
-        tokens,
-        jnp.int32(L),
-        d_cache,
-        t_cache,
-        jax.random.PRNGKey(6),
-        draft_cfg=cfg,
-        target_cfg=cfg,
-        gamma=gamma,
-        draft_sampling=SamplingConfig(0.0),
-        target_sampling=SamplingConfig(0.0),
-        max_new_tokens=gen,
-    )
-    it = int(iters)
-    import numpy as _np
-
-    acc = _np.asarray(rec.accepted[:it]).sum()
-    drafted = _np.asarray(rec.actual_gamma[:it]).sum()
-    return float(acc) / max(float(drafted), 1.0)
-
-
-def calibrate_draft(cfg, t_params, target_accept, dtype, tiny=False, gamma=4):
-    """Bisection on noise scale until the MEASURED SD accept rate matches."""
-    lo, hi = 0.0, 0.25
-    best = None
-    for it in range(8):
-        sigma = (lo + hi) / 2
-        d_params = perturb(t_params, sigma, jax.random.PRNGKey(7))
-        acc = measure_accept_rate(cfg, t_params, d_params, gamma, dtype, tiny)
-        log(f"[bench] calibrate sigma={sigma:.4f} sd-accept={acc:.3f}")
-        if best is None or abs(acc - target_accept) < abs(best[1] - target_accept):
-            best = (d_params, acc, sigma)
-        if abs(acc - target_accept) < 0.02:
-            break
-        if acc > target_accept:
-            lo = sigma
-        else:
-            hi = sigma
-    return best
-
-
-def main():
-    tiny = os.environ.get("BENCH_TINY") == "1"
+def make_engine(cfg_t, t_params, cfg_d, d_params, *, gamma, max_tokens,
+                max_seq_len, int8_kv, comm=False):
     from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
-    from duodecoding_tpu.models import init_random_params, resolve_config
 
-    model_name = "test-tiny-deep" if tiny else "tiny-llama-1.1b"
-    dtype = jnp.float32 if tiny else jnp.bfloat16
-    max_new = 16 if tiny else MAX_NEW_TOKENS
-    n_prompts = 2 if tiny else N_PROMPTS
-
-    cfg_m = resolve_config(model_name)
-    log(f"[bench] building target {cfg_m.name} ({cfg_m.num_params/1e6:.0f}M params)")
-    t_params = init_random_params(cfg_m, jax.random.PRNGKey(0), dtype)
-
-    d_params, agr, sigma = calibrate_draft(cfg_m, t_params, TARGET_ACCEPT, dtype, tiny)
-    log(f"[bench] draft calibrated: sigma={sigma:.4f} sd-accept={agr:.3f}")
-    d_params, int4_draft = maybe_quantize_draft(d_params, tiny)
-    if int4_draft:
-        log("[bench] draft quantized to INT4 (groupwise, Pallas fused kernel)")
-
-    # int8 KV also opt-in for the same random-weight-sensitivity reason
-    int8_kv = (not tiny) and os.environ.get("BENCH_INT8_KV") == "1"
-    if int8_kv:
-        log("[bench] target KV cache: INT8 (per-position scales)")
     ec = EngineConfig(
-        max_tokens=max_new,
-        gamma=4,
+        max_tokens=max_tokens,
+        gamma=gamma,
         temperature=0.0,
         transfer_top_k=1024,
         edge_cloud_bandwidth=23.6,
         edge_end_bandwidth=563.0,
         ntt_ms_edge_cloud=10.0,
         ntt_ms_edge_end=0.0,
-        use_stochastic_comm=True,
-        max_seq_len=512 if not tiny else 128,
-        param_dtype=dtype,
-        cache_dtype=dtype,
+        use_stochastic_comm=comm,
+        max_seq_len=max_seq_len,
+        param_dtype=jnp.bfloat16,
+        cache_dtype=jnp.bfloat16,
         int8_kv_target=int8_kv,
     )
-    engine = Engine(
-        target=Tier(cfg_m, t_params), draft=Tier(cfg_m, d_params), config=ec
+    return Engine(
+        target=Tier(cfg_t, t_params), draft=Tier(cfg_d, d_params), config=ec
     )
+
+
+def measured_accept(engine, prompt) -> float:
+    _, m = engine.run("sd", prompt)
+    return m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
+
+
+def calibrate_alpha(
+    cfg, params, k_draft, prompt, *, gamma, max_seq_len, int8_kv,
+    calib_tokens=64, iters=7,
+):
+    """Log-space bisection on the residual scale until the measured SD
+    accept rate matches TARGET_ACCEPT (accept decreases as alpha grows)."""
+    from duodecoding_tpu.models.surgery import scale_residual, truncate_model
+
+    lo, hi = 1e-4, 0.5
+    best = None
+    for it in range(iters):
+        alpha = math.sqrt(lo * hi)
+        tp = scale_residual(params, alpha)
+        dcfg, dp = truncate_model(cfg, tp, k_draft)
+        eng = make_engine(
+            cfg, tp, dcfg, dp, gamma=gamma, max_tokens=calib_tokens,
+            max_seq_len=max_seq_len, int8_kv=int8_kv,
+        )
+        acc = measured_accept(eng, prompt)
+        log(f"[bench] calibrate alpha={alpha:.5f} sd-accept={acc:.3f}")
+        if best is None or abs(acc - TARGET_ACCEPT) < abs(best[1] - TARGET_ACCEPT):
+            best = (alpha, acc)
+        if abs(acc - TARGET_ACCEPT) < 0.02:
+            break
+        if acc > TARGET_ACCEPT:
+            lo = alpha
+        else:
+            hi = alpha
+    return best
+
+
+def run_prompts(engine, mode, prompts, **kw):
+    toks = 0
+    wall = 0.0
+    accepts = []
+    for i in range(prompts.shape[0]):
+        out, m = engine.run(mode, prompts[i][None, :], **kw)
+        toks += m["generated_tokens"]
+        wall += m["wall_time"]
+        if m["draft_generated_tokens"]:
+            accepts.append(
+                m["draft_accepted_tokens"] / m["draft_generated_tokens"]
+            )
+    return toks / max(wall, 1e-9), (float(np.mean(accepts)) if accepts else 0.0)
+
+
+def int4_kernel_sol(cfg, tiny):
+    """Micro-benchmark the fused INT4 kernel at the model's MLP shape and
+    report achieved fraction of the HBM-bandwidth roof."""
+    from duodecoding_tpu.models.quant import quantize_int4
+    from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+    from duodecoding_tpu.utils.profiler import PerformanceProfiler as Profiler
+
+    if tiny:
+        return None
+    K, N = cfg.hidden_size, cfg.intermediate_size
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.02
+    q = quantize_int4(w, group_size=128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, K), jnp.bfloat16)
+    out = int4_matmul(x, q)
+    jax.block_until_ready(out)
+    prof = Profiler()
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(int4_matmul(x, q))
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    bytes_accessed = (
+        K // 2 * N + 2 * 4 * (K // 128) * N + x.size * 2 + N * 4
+    )
+    sol = prof.speed_of_light(bytes_accessed, 2 * K * N)
+    return {"median_s": med, "sol_s": sol, "sol_frac": sol / med}
+
+
+def part_a_13b(tiny):
+    """13B-class AR vs SD on one chip, INT4 weights + INT8 KV."""
+    from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, param_bytes, scale_residual, truncate_model,
+    )
+    from duodecoding_tpu.utils.profiler import PerformanceProfiler as Profiler
+
+    name = "test-tiny-deep" if tiny else "llama-2-13b"
+    cfg = resolve_config(name)
+    group = 16 if tiny else 128
+    k_draft = 1 if tiny else 4
+    gamma = 3 if tiny else 4
+    max_new = 16 if tiny else MAX_NEW_TOKENS
+    plen = 16 if tiny else PROMPT_LEN
+    S = 64 if tiny else 256
+    n_prompts = 1 if tiny else 3
+    int8_kv = not tiny
+
+    log(f"[bench] A: target {cfg.name} ({cfg.num_params/1e9:.1f}B params, "
+        f"INT4 group={group}, INT8 KV={int8_kv}), draft = first {k_draft}/"
+        f"{cfg.num_layers} layers")
+    t0 = time.time()
+    qparams = init_random_quant_params(cfg, jax.random.PRNGKey(0), group)
+    jax.block_until_ready(qparams["embed"])
+    pbytes = param_bytes(qparams)
+    log(f"[bench] A: init {time.time()-t0:.1f}s, {pbytes/1e9:.2f} GB packed")
 
     rng = np.random.default_rng(0)
-    prompt_len = 24 if tiny else PROMPT_LEN
-    prompts = rng.integers(1, cfg_m.vocab_size, (n_prompts + 1, prompt_len))
+    prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
+    calib_prompt = prompts[0][None, :]
 
-    # warmup (compile)
+    alpha, acc = calibrate_alpha(
+        cfg, qparams, k_draft, calib_prompt, gamma=gamma,
+        max_seq_len=S, int8_kv=int8_kv,
+        calib_tokens=max_new // 2, iters=4 if tiny else 7,
+    )
+    log(f"[bench] A: calibrated alpha={alpha:.5f} accept={acc:.3f}")
+    tp = scale_residual(qparams, alpha)
+    dcfg, dp = truncate_model(cfg, tp, k_draft)
+
+    results = {}
+    # AR baseline (own, on-chip, same INT4+INT8KV target)
+    eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
+                      max_seq_len=S, int8_kv=int8_kv)
     t0 = time.time()
-    engine.run("dist_split_spec", prompts[0:1][0][None, :], transfer_top_k=1024)
-    log(f"[bench] warmup/compile {time.time() - t0:.1f}s")
+    eng.run("large", prompts[0][None, :])  # warmup/compile
+    log(f"[bench] A: AR warmup {time.time()-t0:.1f}s")
+    ar_tps, _ = run_prompts(eng, "large", prompts[1:])
+    log(f"[bench] A: AR {ar_tps:.2f} tok/s")
+    results["ar_tps"] = ar_tps
 
-    total_tokens = 0
-    total_wall = 0.0
-    accept_rates = []
+    # speed-of-light accounting for the AR decode step (weights-bound)
+    prof = Profiler()
+    kv_elt = 1 if int8_kv else 2
+    kv_bytes = (
+        2 * cfg.num_layers * S * cfg.num_kv_heads * cfg.head_dim_ * kv_elt
+    )
+    step_bytes = pbytes + kv_bytes
+    sol_tps = 1.0 / prof.speed_of_light(step_bytes)
+    results["ar_sol_tps"] = sol_tps
+    results["ar_sol_frac"] = ar_tps / sol_tps
+    log(f"[bench] A: AR speed-of-light {sol_tps:.1f} tok/s -> "
+        f"{100*results['ar_sol_frac']:.0f}% of roof")
+
+    best = (0.0, 0, 0.0)
+    for g in ((3,) if tiny else (4, 8)):
+        e = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
+                        max_seq_len=S, int8_kv=int8_kv)
+        t0 = time.time()
+        e.run("sd", prompts[0][None, :])
+        log(f"[bench] A: sd gamma={g} warmup {time.time()-t0:.1f}s")
+        tps, acc_g = run_prompts(e, "sd", prompts[1:])
+        log(f"[bench] A: sd gamma={g}: {tps:.2f} tok/s accept={acc_g:.3f}")
+        if tps > best[0]:
+            best = (tps, g, acc_g)
+    results["sd_tps"], results["sd_gamma"], results["sd_accept"] = best
+    results["speedup"] = best[0] / ar_tps if ar_tps else 0.0
+    results["alpha"] = alpha
+    results["param_bytes"] = pbytes
+
+    ksol = int4_kernel_sol(cfg, tiny)
+    if ksol:
+        results["int4_mlp_kernel_sol_frac"] = ksol["sol_frac"]
+        log(f"[bench] A: int4 kernel ({cfg.hidden_size}x"
+            f"{cfg.intermediate_size}) {1e6*ksol['median_s']:.0f}us = "
+            f"{100*ksol['sol_frac']:.0f}% of roof")
+    log(f"[bench] A: speedup {results['speedup']:.2f}x vs own AR "
+        f"(goal {SPEEDUP_GOAL}x)")
+    return results
+
+
+def part_b_dssd(tiny):
+    """Round-1 regime at the baseline row's shapes: dist_split_spec with
+    stochastic 23.6 Mbps comm, Qwen1.5-1.8B-arch target, INT4 slice draft
+    (~0.29x cost = the 0.5B/1.8B ratio), INT8 KV target."""
+    from duodecoding_tpu.models import init_random_params, resolve_config
+    from duodecoding_tpu.models.quant import quantize_params
+    from duodecoding_tpu.models.surgery import scale_residual, truncate_model
+
+    name = "test-tiny-deep" if tiny else "qwen1.5-1.8b"
+    cfg = resolve_config(name)
+    k_draft = 1 if tiny else 7
+    gamma = 3 if tiny else 4
+    max_new = 16 if tiny else MAX_NEW_TOKENS
+    plen = 16 if tiny else PROMPT_LEN
+    S = 64 if tiny else 512
+    n_prompts = 1 if tiny else 4
+    group = 16 if tiny else 128
+    int8_kv = not tiny
+
+    log(f"[bench] B: target {cfg.name} bf16, draft = INT4 first "
+        f"{k_draft}/{cfg.num_layers} layers, INT8 KV={int8_kv}")
+    t_params = init_random_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+
+    rng = np.random.default_rng(1)
+    prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
+    calib_prompt = prompts[0][None, :]
+
+    # calibrate with the INT4-quantized draft IN the loop (post-quant
+    # accept matching — the quantization error is inside the measurement)
+    lo, hi = 1e-4, 0.5
+    best = None
+    for it in range(4 if tiny else 7):
+        alpha = math.sqrt(lo * hi)
+        tp = scale_residual(t_params, alpha)
+        dcfg, dp = truncate_model(cfg, tp, k_draft)
+        dp = quantize_params(dp, group_size=group)
+        eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma,
+                          max_tokens=max_new // 2, max_seq_len=S,
+                          int8_kv=int8_kv)
+        acc = measured_accept(eng, calib_prompt)
+        log(f"[bench] B: calibrate alpha={alpha:.5f} sd-accept={acc:.3f}")
+        if best is None or abs(acc - TARGET_ACCEPT) < abs(best[1] - TARGET_ACCEPT):
+            best = (alpha, acc)
+        if abs(acc - TARGET_ACCEPT) < 0.02:
+            break
+        if acc > TARGET_ACCEPT:
+            lo = alpha
+        else:
+            hi = alpha
+    alpha, acc = best
+    log(f"[bench] B: calibrated alpha={alpha:.5f} accept={acc:.3f}")
+    tp = scale_residual(t_params, alpha)
+    dcfg, dp = truncate_model(cfg, tp, k_draft)
+    dp = quantize_params(dp, group_size=group)
+
+    eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
+                      max_seq_len=S, int8_kv=int8_kv, comm=True)
+    t0 = time.time()
+    eng.run("dist_split_spec", prompts[0][None, :], transfer_top_k=1024)
+    log(f"[bench] B: warmup {time.time()-t0:.1f}s")
+    toks = 0
+    wall = 0.0
+    accepts = []
     for i in range(n_prompts):
-        out, m = engine.run(
+        out, m = eng.run(
             "dist_split_spec", prompts[i + 1][None, :], transfer_top_k=1024
         )
-        total_tokens += m["generated_tokens"]
-        total_wall += m["wall_time"]
-        acc = m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
-        accept_rates.append(acc)
-        log(
-            f"[bench] prompt {i}: {m['generated_tokens']} tok, "
-            f"wall {m['wall_time']:.2f}s (comm {m['communication_time']:.2f}s), "
-            f"accept {acc:.3f}, {m['throughput']:.2f} tok/s"
+        toks += m["generated_tokens"]
+        wall += m["wall_time"]
+        accepts.append(
+            m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
         )
+        log(f"[bench] B: prompt {i}: wall {m['wall_time']:.2f}s "
+            f"(comm {m['communication_time']:.2f}s) "
+            f"{m['throughput']:.2f} tok/s")
+    tps = toks / max(wall, 1e-9)
+    log(f"[bench] B: dssd {tps:.2f} tok/s (mean accept "
+        f"{float(np.mean(accepts)):.3f}) vs reference {DSSD_BASELINE_TPS}")
+    return {
+        "dssd_tps": tps,
+        "dssd_accept": float(np.mean(accepts)),
+        "dssd_vs_reference": tps / DSSD_BASELINE_TPS,
+        "alpha": alpha,
+    }
 
-    tps = total_tokens / total_wall if total_wall > 0 else 0.0
-    log(
-        f"[bench] total: {total_tokens} tokens in {total_wall:.2f}s, "
-        f"mean accept {np.mean(accept_rates):.3f}"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "dist_split_spec tokens/s (accept-rate-matched pair, "
-                "23.6 Mbps stochastic edge-cloud, temp 0, 128 new tokens)",
-                "value": round(tps, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tps / BASELINE_TPS, 3),
-            }
-        )
-    )
+
+def main():
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    if tiny:
+        # CPU smoke variant (the sandbox force-registers the remote TPU
+        # backend; only an explicit config update overrides it)
+        jax.config.update("jax_platforms", "cpu")
+    details = {"tiny": tiny}
+
+    if os.environ.get("BENCH_SKIP_13B") != "1":
+        details["speedup_13b"] = part_a_13b(tiny)
+    if os.environ.get("BENCH_SKIP_DSSD") != "1":
+        details["dssd_baseline_row"] = part_b_dssd(tiny)
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    a = details.get("speedup_13b")
+    if a:
+        speedup = a["speedup"]
+        print(json.dumps({
+            "metric": (
+                "13B-class SD speedup vs own AR on 1 chip "
+                f"(llama-2-13b arch INT4+INT8KV, accept-matched "
+                f"{TARGET_ACCEPT}, gamma={a['sd_gamma']}; "
+                f"AR {a['ar_tps']:.1f} tok/s at "
+                f"{100*a['ar_sol_frac']:.0f}% of HBM roof, "
+                f"SD {a['sd_tps']:.1f} tok/s; goal >= {SPEEDUP_GOAL}x)"
+            ),
+            "value": round(speedup, 3),
+            "unit": "x vs own AR",
+            "vs_baseline": round(speedup / SPEEDUP_GOAL, 3),
+        }))
+    else:
+        b = details["dssd_baseline_row"]
+        print(json.dumps({
+            "metric": "dist_split_spec tokens/s (baseline row regime)",
+            "value": round(b["dssd_tps"], 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(b["dssd_vs_reference"], 3),
+        }))
 
 
 if __name__ == "__main__":

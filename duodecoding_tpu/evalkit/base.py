@@ -94,6 +94,30 @@ class EvalTask(abc.ABC):
         if eos is not None and use_early_stopping:
             engine.config.eos_ids = (int(eos),)
         self.data: List[dict] = []
+        self.data_source: str = "unknown"
+
+    def load_jsonl_data(self, *filenames: str, synth: List[dict]) -> List[dict]:
+        """Resolve the first available data file; degrade LOUDLY to the
+        synthetic sample otherwise (the reference vendors its datasets in
+        data/*.jsonl — this repo ships the same files under ./data; a
+        synthetic fallback keeps offline smoke runs alive but is flagged
+        in every summary via ``data_source``)."""
+        import warnings
+
+        for fn in filenames:
+            path = resolve_data_file(fn)
+            if path:
+                self.data_source = path
+                return read_jsonl(path)
+        warnings.warn(
+            f"[evalkit:{self.name}] none of {filenames} found in any data "
+            f"dir ({[d for d in _DATA_DIR_CANDIDATES if d]}); degrading to "
+            f"{len(synth)} SYNTHETIC items — results are not "
+            "benchmark-comparable",
+            stacklevel=2,
+        )
+        self.data_source = "synthetic"
+        return list(synth)
 
     # -- per-task hooks ---------------------------------------------------
     @abc.abstractmethod
@@ -198,5 +222,6 @@ class EvalTask(abc.ABC):
             "harness_time": time.time() - t_start,
             "metrics_path": acc.dump(self.exp_dir, mode, self.name),
             "transcript_path": transcript_path,
+            "data_source": self.data_source,
         }
         return summary

@@ -1,25 +1,240 @@
 """Independent accuracy ground-truthing outside the SD engine.
 
 The reference ships a separate vLLM harness (reference:
-test/eval_gsm8k_vllm.py, test/eval_humaneval_vllm.py) to verify task
-accuracy with an engine that shares no code with the speculative stack.
-The TPU-framework analog runs the same checkpoints through HF transformers
-(torch CPU) greedy generation and compares outputs/accuracy — an
-end-to-end cross-check that the jnp model, loader, and harness agree with
-an independent implementation.
+test/eval_gsm8k_vllm.py:1-303, test/eval_humaneval_vllm.py:1-392) to
+verify task accuracy with an engine that shares no code with the
+speculative stack. The TPU-framework analog:
+
+- a backend-agnostic harness: any ``generate_fn(prompt_text) -> str`` —
+  the bundled one wraps HF transformers (torch CPU) greedy generation, a
+  stack with zero code shared with the jnp engine;
+- GSM8K: Q/A few-shot prompt construction, gold ``#### n`` extraction and
+  prediction extraction with "answer is"/last-number fallbacks, numeric
+  comparison (reference test/eval_gsm8k_vllm.py:35-97, 100-128);
+- HumanEval: prompt-completion postprocessing (truncate at the next
+  top-level definition), sandboxed functional-correctness subprocess with
+  timeout, pass@1 (reference test/eval_humaneval_vllm.py:35-118, 265);
+- token-identity cross-check of our engine against HF greedy on the same
+  checkpoints, for environments where real weights exist.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+import json
+import re
+from typing import Callable, List, Optional
 
 import numpy as np
 
+ANSWER_TRIGGERS = ("The answer is", "the answer is", "answer is")
+
+
+def extract_gold_answer(completion: str) -> Optional[str]:
+    """Gold GSM8K answers carry a ``#### n`` marker (reference
+    test/eval_gsm8k_vllm.py:35-41)."""
+    m = re.search(r"####\s*([\-0-9\.,/]+)", completion)
+    return _norm_number(m.group(1)) if m else None
+
+
+def extract_pred_answer(completion: str) -> Optional[str]:
+    """Prediction extraction: ``####`` marker, then "answer is", then the
+    last number in the text (reference test/eval_gsm8k_vllm.py:43-82)."""
+    m = re.search(r"####\s*([\-0-9\.,/]+)", completion)
+    if m:
+        return _norm_number(m.group(1))
+    for trig in ANSWER_TRIGGERS:
+        idx = completion.rfind(trig)
+        if idx >= 0:
+            tail = completion[idx + len(trig):]
+            m = re.search(r"[\-0-9\.,/]+", tail)
+            if m:
+                return _norm_number(m.group(0))
+    nums = re.findall(r"-?\d[\d,]*\.?\d*", completion)
+    return _norm_number(nums[-1]) if nums else None
+
+
+def _norm_number(s: str) -> Optional[str]:
+    s = s.strip().rstrip(".").replace(",", "").replace("$", "")
+    if not s or s in ("-", "."):
+        return None
+    try:
+        v = float(s)
+    except ValueError:
+        return None
+    return str(int(v)) if v == int(v) else str(v)
+
+
+def is_correct(pred_text: str, gold_answer: str) -> bool:
+    gold = extract_gold_answer(gold_answer)
+    if gold is None:
+        gold = _norm_number(gold_answer)
+    pred = extract_pred_answer(pred_text)
+    return pred is not None and gold is not None and pred == gold
+
+
+def build_gsm8k_prompt(question: str, num_shots: int = 3) -> str:
+    """Q:/A: few-shot prompt (reference test/eval_gsm8k_vllm.py:100-128).
+    Shots come from the harness's own few-shot pool."""
+    from duodecoding_tpu.evalkit.tasks import GSM8K_FEW_SHOT
+
+    parts = []
+    for q, a in GSM8K_FEW_SHOT[:num_shots]:
+        parts.append(f"Q: {q}\nA: {a}\n")
+    parts.append(f"Q: {question}\nA:")
+    return "\n".join(parts)
+
+
+def eval_gsm8k(
+    generate_fn: Callable[[str], str],
+    items: List[dict],
+    *,
+    num_shots: int = 3,
+    output_file: Optional[str] = None,
+) -> dict:
+    """Accuracy over GSM8K-schema items ({question, answer})."""
+    records = []
+    correct = 0
+    graded = 0
+    for item in items:
+        gold = item.get("answer", "") or ""
+        if extract_gold_answer(gold) is None and _norm_number(gold) is None:
+            continue
+        prompt = build_gsm8k_prompt(item["question"], num_shots)
+        text = generate_fn(prompt)
+        # cut at the next question the model may hallucinate
+        text = text.split("\nQ:")[0]
+        ok = is_correct(text, gold)
+        graded += 1
+        correct += int(ok)
+        records.append(
+            {
+                "question": item["question"],
+                "output": text,
+                "extracted_gold": extract_gold_answer(gold) or _norm_number(gold),
+                "extracted_pred": extract_pred_answer(text),
+                "correct": ok,
+            }
+        )
+    result = {
+        "task": "gsm8k",
+        "n": graded,
+        "accuracy": correct / graded if graded else None,
+    }
+    if output_file:
+        with open(output_file, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        result["records_path"] = output_file
+    return result
+
+
+def postprocess_completion(completion: str) -> str:
+    """Truncate a HumanEval completion at the next top-level statement
+    (reference test/eval_humaneval_vllm.py:80-117)."""
+    for stop in ("\ndef ", "\nclass ", "\nif __name__", "\nprint(", "\n#"):
+        idx = completion.find(stop)
+        if idx > 0:
+            completion = completion[:idx]
+    return completion
+
+
+def eval_humaneval(
+    generate_fn: Callable[[str], str],
+    items: List[dict],
+    *,
+    timeout: float = 20.0,
+    output_file: Optional[str] = None,
+) -> dict:
+    """pass@1 over HumanEval-schema items ({prompt, test, entry_point})
+    via the sandboxed subprocess checker (shared with the in-engine task;
+    reference test/eval_humaneval_vllm.py:35-78, 265). The timeout covers
+    the spawned child's interpreter startup too (it re-imports heavy
+    modules), so it is far larger than the reference's 3 s execution cap."""
+    from duodecoding_tpu.evalkit.tasks import check_correctness
+
+    records = []
+    passed = 0
+    graded = 0
+    for item in items:
+        if "test" not in item:
+            continue
+        completion = postprocess_completion(generate_fn(item["prompt"]))
+        ok = check_correctness(item, completion, timeout=timeout)
+        graded += 1
+        passed += int(ok)
+        records.append(
+            {
+                "task_id": item.get("task_id"),
+                "completion": completion,
+                "passed": ok,
+            }
+        )
+    result = {
+        "task": "humaneval",
+        "n": graded,
+        "pass@1": passed / graded if graded else None,
+    }
+    if output_file:
+        with open(output_file, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        result["records_path"] = output_file
+    return result
+
+
+# --------------------------------------------------------------------------
+# Backends
+# --------------------------------------------------------------------------
+
+
+def hf_text_backend(model, tokenizer, max_new_tokens: int = 256):
+    """generate_fn over HF transformers greedy decoding (torch CPU) — an
+    implementation stack fully independent of the jnp engine."""
+
+    def generate(prompt: str) -> str:
+        import torch
+
+        ids = tokenizer(prompt, return_tensors="pt")["input_ids"]
+        with torch.no_grad():
+            out = model.generate(
+                ids,
+                max_new_tokens=max_new_tokens,
+                do_sample=False,
+                num_beams=1,
+                pad_token_id=getattr(tokenizer, "eos_token_id", 0) or 0,
+            )
+        return tokenizer.decode(
+            out[0, ids.shape[1]:], skip_special_tokens=True
+        )
+
+    return generate
+
+
+def engine_text_backend(engine, tokenizer, mode: str = "large", **mode_kw):
+    """generate_fn over a framework engine mode — lets the same accuracy
+    protocol grade speculative modes for parity checks."""
+
+    def generate(prompt: str) -> str:
+        ids = tokenizer(prompt, return_tensors="np")["input_ids"].astype(
+            np.int32
+        )
+        out, _ = engine.run(mode, ids, **mode_kw)
+        gen = np.asarray(out)[0, ids.shape[1]:]
+        eos = getattr(tokenizer, "eos_token_id", None)
+        if eos is not None:
+            hits = np.nonzero(gen == eos)[0]
+            if hits.size:
+                gen = gen[: hits[0]]
+        return tokenizer.decode(gen, skip_special_tokens=True)
+
+    return generate
+
 
 def hf_greedy_generate(
-    model, input_ids: np.ndarray, max_new_tokens: int, eos_token_id: Optional[int] = None
+    model, input_ids: np.ndarray, max_new_tokens: int,
+    eos_token_id: Optional[int] = None,
 ) -> np.ndarray:
-    """Greedy generation via HF transformers (torch, CPU)."""
+    """Greedy token generation via HF transformers (torch, CPU)."""
     import torch
 
     with torch.no_grad():

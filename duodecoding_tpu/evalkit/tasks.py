@@ -57,11 +57,8 @@ _SYNTH_QUESTIONS = [
 ]
 
 
-def _load_specbench_file(sub_domain: str) -> List[dict]:
-    path = resolve_data_file(f"{sub_domain}.jsonl")
-    if path:
-        return read_jsonl(path)
-    return list(_SYNTH_QUESTIONS)
+def _load_specbench_file(task: EvalTask, sub_domain: str) -> List[dict]:
+    return task.load_jsonl_data(f"{sub_domain}.jsonl", synth=_SYNTH_QUESTIONS)
 
 
 def extract_gsm8k_answer(text: str) -> Optional[str]:
@@ -86,8 +83,7 @@ class MTBenchNoEval(EvalTask):
     chat template (multi-turn context carried between turns)."""
 
     def load_data(self):
-        path = resolve_data_file("mt_bench.jsonl")
-        return read_jsonl(path) if path else list(_SYNTH_QUESTIONS)
+        return self.load_jsonl_data("mt_bench.jsonl", synth=_SYNTH_QUESTIONS)
 
     def build_prompt(self, item):
         return self.template([(item["turns"][0], None)])
@@ -160,6 +156,7 @@ class MTBenchNoEval(EvalTask):
             "harness_time": time.time() - t0,
             "metrics_path": acc.dump(self.exp_dir, mode, self.name),
             "transcript_path": transcript_path,
+            "data_source": self.data_source,
         }
 
 
@@ -170,10 +167,12 @@ class GSM8K(EvalTask):
     def load_data(self):
         path = resolve_data_file("gsm8k.jsonl")
         if path:
+            self.data_source = path
             return read_jsonl(path)
         # SpecBench math_reasoning shares the schema (turns + reference)
         path = resolve_data_file("math_reasoning.jsonl")
         if path:
+            self.data_source = path
             data = read_jsonl(path)
             return [
                 {
@@ -187,8 +186,17 @@ class GSM8K(EvalTask):
             from datasets import load_dataset
 
             ds = load_dataset("gsm8k", "main", split="test")
+            self.data_source = "hf:gsm8k"
             return [dict(x) for x in ds]
         except Exception:
+            import warnings
+
+            warnings.warn(
+                "[evalkit:gsm8k] no gsm8k/math_reasoning data found; "
+                "degrading to 8 SYNTHETIC items — results are not "
+                "benchmark-comparable"
+            )
+            self.data_source = "synthetic"
             return [
                 {"question_id": i, "question": f"What is {i} + {i}?", "answer": f"#### {2 * i}"}
                 for i in range(1, 9)
@@ -255,10 +263,7 @@ def check_correctness(problem: dict, completion: str, timeout: float = 3.0) -> b
 @register_task("humaneval")
 class HumanEval(EvalTask):
     def load_data(self):
-        path = resolve_data_file("humaneval.jsonl")
-        if path:
-            return read_jsonl(path)
-        return [
+        return self.load_jsonl_data("humaneval.jsonl", synth=[
             {
                 "task_id": "Synthetic/0",
                 "question_id": 0,
@@ -266,7 +271,7 @@ class HumanEval(EvalTask):
                 "test": "def check(f):\n    assert f(1, 2) == 3\n",
                 "entry_point": "add",
             }
-        ]
+        ])
 
     def build_prompt(self, item):
         return item["prompt"]
@@ -299,6 +304,7 @@ class _SummarizationTask(EvalTask):
     def load_data(self):
         path = resolve_data_file("summarization.jsonl")
         if path:
+            self.data_source = path
             data = read_jsonl(path)
             return [
                 {
@@ -312,8 +318,16 @@ class _SummarizationTask(EvalTask):
             import datasets
 
             ds = datasets.load_dataset(*self.dataset_name, split="test")
+            self.data_source = f"hf:{self.dataset_name[0]}"
             return [dict(x) for x in ds]
         except Exception:
+            import warnings
+
+            warnings.warn(
+                f"[evalkit:{self.name}] no summarization data found; "
+                "degrading to 4 SYNTHETIC items"
+            )
+            self.data_source = "synthetic"
             return [
                 {
                     "question_id": i,
@@ -367,7 +381,7 @@ class SpecBench(EvalTask):
         self.sub_domain = sub_domain
 
     def load_data(self):
-        return _load_specbench_file(self.sub_domain)
+        return _load_specbench_file(self, self.sub_domain)
 
     def build_prompt(self, item):
         return self.template([(item["turns"][0], None)])
@@ -384,7 +398,7 @@ class Mixed(EvalTask):
     def load_data(self):
         by_cat: dict[str, list] = {}
         for sd in self.SUB_DOMAINS:
-            for it in _load_specbench_file(sd):
+            for it in _load_specbench_file(self, sd):
                 it = dict(it)
                 it["category"] = sd
                 by_cat.setdefault(sd, []).append(it)

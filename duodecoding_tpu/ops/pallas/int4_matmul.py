@@ -6,17 +6,22 @@ GGUF CPU kernels, reference: src/model_cpu.py; gpt-fast
 matmuls are weight-bandwidth-bound, so keeping weights packed 4-bit in HBM
 and dequantizing in VMEM on the fly is a ~3.5x bandwidth win over bf16.
 
-Kernel strategy (per N-tile program):
-- the packed [K/2, TILE_N] uint8 block is unpacked with a concat (the
-  split-K nibble layout from models/quant.py avoids row interleaving);
+Kernel strategy (per (M-tile, N-tile) program):
+- nibbles are unpacked PER GROUP inside the group loop — never a full
+  [K, TILE_N] dequantized buffer, so VMEM stays bounded at 13B shapes
+  (K up to 13824); the split-K layout from models/quant.py (low nibbles =
+  rows [0, K/2), high = [K/2, K)) makes each group's rows one or two
+  static slices of the packed block;
 - the affine dequant is NOT materialised: since scales/zeros are constant
   per (group, column),
 
       y = sum_g (x_g @ codes_g) * s_g  +  rowsum(x_g) ⊗ z_g
 
   i.e. the MXU multiplies raw 4-bit codes and the affine fixup happens on
-  the [M, TILE_N] output — one cheap VPU multiply-add per group instead of
-  a full K x TILE_N dequantized weight buffer.
+  the [TM, TN] output — one cheap VPU multiply-add per group instead of a
+  dequantized weight buffer;
+- M is tiled so large prefill batches (x up to [512, K]) never exceed the
+  VMEM budget.
 
 Falls back to the jnp reference implementation off-TPU (and under
 ``interpret=True`` for tests).
@@ -34,56 +39,74 @@ from jax.experimental.pallas import tpu as pltpu
 from duodecoding_tpu.models.quant import int4_matmul_reference
 
 
-def _kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, n_groups: int):
-    x = x_ref[:]  # [M, K] bf16
-    p = p_ref[:].astype(jnp.int32)  # [K//2, TN]
-    low = (p & 0xF).astype(jnp.bfloat16)
-    high = ((p >> 4) & 0xF).astype(jnp.bfloat16)
-    codes = jnp.concatenate([low, high], axis=0)  # [K, TN]
+def _kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int):
+    x = x_ref[:]  # [TM, K] bf16
+    n_groups = K // group_size
+    half = K // 2
 
-    M = x.shape[0]
-    acc = jnp.zeros((M, o_ref.shape[1]), jnp.float32)
+    TM = x.shape[0]
+    acc = jnp.zeros((TM, o_ref.shape[1]), jnp.float32)
     for g in range(n_groups):
-        xg = x[:, g * group_size : (g + 1) * group_size]
-        cg = codes[g * group_size : (g + 1) * group_size, :]
+        a, b = g * group_size, (g + 1) * group_size
+        # group rows [a, b): low nibbles hold rows [0, K/2), high nibbles
+        # rows [K/2, K); a group can straddle the boundary when the group
+        # count is odd — both cases are static slices.
+        parts = []
+        if a < half:
+            lo = p_ref[a : min(b, half), :].astype(jnp.int32)
+            parts.append((lo & 0xF).astype(jnp.bfloat16))
+        if b > half:
+            hi = p_ref[max(a, half) - half : b - half, :].astype(jnp.int32)
+            parts.append(((hi >> 4) & 0xF).astype(jnp.bfloat16))
+        cg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        xg = x[:, a:b]
         partial = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
         sg = s_ref[g, :][None, :]  # [1, TN]
         zg = z_ref[g, :][None, :]
-        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [M, 1]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)  # [TM, 1]
         acc = acc + partial * sg + xsum * zg
     o_ref[:] = acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "tile_n", "interpret")
+    jax.jit, static_argnames=("group_size", "tile_m", "tile_n", "interpret")
 )
 def _int4_matmul_2d(
-    x: jax.Array,  # [M, K] bf16
+    x: jax.Array,  # [M, K] bf16 (M divisible by tile_m)
     packed: jax.Array,  # [K/2, N] uint8
     scales: jax.Array,  # [G, N] f32
     zeros: jax.Array,  # [G, N] f32
     group_size: int,
+    tile_m: int,
     tile_n: int,
     interpret: bool = False,
 ):
     M, K = x.shape
     N = packed.shape[1]
     n_groups = K // group_size
-    grid = (N // tile_n,)
+    grid = (M // tile_m, N // tile_n)
 
-    kernel = functools.partial(_kernel, group_size=group_size, n_groups=n_groups)
+    kernel = functools.partial(_kernel, group_size=group_size, K=K)
     flops = 2 * M * K * N
     bytes_accessed = K // 2 * N + 2 * 4 * n_groups * N + M * K * 2 + M * N * 4
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // 2, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (K // 2, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_groups, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_groups, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((M, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (tile_m, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
@@ -92,11 +115,23 @@ def _int4_matmul_2d(
     )(x.astype(jnp.bfloat16), packed, scales, zeros)
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile_n(n: int, k: int) -> int:
+    # Mosaic materialises the unpack temporaries (int32 + bf16 copies of
+    # the packed block) on the 16 MB scoped-vmem stack; keep the packed
+    # block small enough that ~7 bytes/packed-byte of temporaries fit.
     for t in (512, 256, 128):
+        if n % t == 0 and (k // 2) * t <= 1536 * 1024:
+            return t
+    for t in (256, 128):
         if n % t == 0:
             return t
     return 0
+
+
+def _pick_tile_m(m: int, k: int) -> int:
+    # keep the x block (TM x K bf16) under ~2 MB of VMEM
+    cap = max(8, (2 * 1024 * 1024 // (2 * k)) // 8 * 8)
+    return min(m, cap)
 
 
 def int4_matmul(x: jax.Array, q: dict, interpret: bool | None = None) -> jax.Array:
@@ -109,21 +144,21 @@ def int4_matmul(x: jax.Array, q: dict, interpret: bool | None = None) -> jax.Arr
 
     packed, scales, zeros = q["packed"], q["scales"], q["zeros"]
     K, N, gs = q_meta(q)
-    tile = _pick_tile(N)
+    tile_n = _pick_tile_n(N, K)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
         interpret = False
         if not on_tpu:
             return int4_matmul_reference(x, q)
-    if tile == 0:
+    if tile_n == 0:
         return int4_matmul_reference(x, q)
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    # pad M to the f32 sublane tile
-    Mp = max(8, ((M + 7) // 8) * 8)
+    tile_m = _pick_tile_m(max(8, ((M + 7) // 8) * 8), K)
+    Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    out = _int4_matmul_2d(x2, packed, scales, zeros, gs, tile, interpret)
+    out = _int4_matmul_2d(x2, packed, scales, zeros, gs, tile_m, tile_n, interpret)
     return out[:M].reshape(*lead, N)
