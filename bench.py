@@ -128,7 +128,16 @@ def run_prompts(engine, mode, prompts, **kw):
 
 def int4_kernel_sol(cfg, tiny):
     """Micro-benchmark the fused INT4 kernel at the model's MLP shape and
-    report achieved fraction of the HBM-bandwidth roof."""
+    report achieved fraction of the HBM-bandwidth roof.
+
+    Methodology: the kernel repeats inside ONE jitted lax.scan (per-call
+    timing on a remote-dispatch backend measures round-trips, not the
+    kernel), with an integer-magnitude input perturbation per iteration
+    (sub-eps perturbations round away in bf16 and CSE collapses the loop
+    to one matmul) and a max-reduction carry (a sum-reduction lets XLA
+    factor the matmul out of the loop entirely)."""
+    import functools as _ft
+
     from duodecoding_tpu.models.quant import quantize_int4
     from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
     from duodecoding_tpu.utils.profiler import PerformanceProfiler as Profiler
@@ -136,22 +145,34 @@ def int4_kernel_sol(cfg, tiny):
     if tiny:
         return None
     K, N = cfg.hidden_size, cfg.intermediate_size
+    REPS = 50
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.02
     q = quantize_int4(w, group_size=128)
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, K), jnp.bfloat16)
-    out = int4_matmul(x, q)
-    jax.block_until_ready(out)
-    prof = Profiler()
+
+    @jax.jit
+    def rep(x, packed, scales, zeros):
+        qq = {"packed": packed, "scales": scales, "zeros": zeros}
+
+        def step(carry, i):
+            out = int4_matmul(x + i.astype(jnp.bfloat16), qq)
+            return carry + jnp.max(out), None
+
+        s, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(REPS))
+        return s
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (8, K), jnp.bfloat16)
+    jax.block_until_ready(rep(x0, q["packed"], q["scales"], q["zeros"]))
     times = []
-    for _ in range(20):
+    for i in range(4):
+        x = jax.random.normal(jax.random.PRNGKey(2 + i), (8, K), jnp.bfloat16)
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(int4_matmul(x, q))
+        jax.block_until_ready(rep(x, q["packed"], q["scales"], q["zeros"]))
         times.append(time.perf_counter() - t0)
-    med = sorted(times)[len(times) // 2]
-    bytes_accessed = (
-        K // 2 * N + 2 * 4 * (K // 128) * N + x.size * 2 + N * 4
-    )
-    sol = prof.speed_of_light(bytes_accessed, 2 * K * N)
+    med = min(times) / REPS
+    prof = Profiler()
+    bytes_accessed = K // 2 * N + 2 * 4 * (K // 128) * N + 8 * K * 2 + 8 * N * 4
+    sol = prof.speed_of_light(bytes_accessed, 2 * 8 * K * N)
     return {"median_s": med, "sol_s": sol, "sol_frac": sol / med}
 
 

@@ -193,6 +193,20 @@ def _self_distill_heads(args, engine):
         )
         print(f"[cli] hydra distill loss {loss:.3f}", file=sys.stderr)
         return {"hydra_heads": heads}
+    if mode == "space":
+        from duodecoding_tpu.adaptive.space import (
+            collect_space_data, train_space_masks,
+        )
+
+        rollouts, L = collect_space_data(
+            target.params, cfg, prompts, args.distill_new
+        )
+        mask_emb, loss = train_space_masks(
+            target.params, cfg, rollouts, L, k=args.num_draft_heads,
+            epochs=args.distill_epochs * 2, anchors=6, seed=args.seed,
+        )
+        print(f"[cli] space distill loss {loss:.3f}", file=sys.stderr)
+        return {"space_mask_emb": mask_emb, "num_masks": args.num_draft_heads}
     # eagle / eagle2
     from duodecoding_tpu.adaptive.eagle import (
         collect_eagle_data, init_eagle_params, train_eagle,
@@ -221,7 +235,7 @@ def build_mode_kwargs(args, engine):
     """Resolve adapters/RL per the registries, mirroring the reference's
     path resolution (src/utils.py:594-642)."""
     kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
-    if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2"):
+    if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2", "space"):
         kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":
         kw["little_threshold"] = args.small_draft_threshold

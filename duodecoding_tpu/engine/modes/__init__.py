@@ -14,5 +14,6 @@ from duodecoding_tpu.engine.modes import (  # noqa: F401
     medusa,
     rest,
     sd,
+    space,
     tridecoding,
 )

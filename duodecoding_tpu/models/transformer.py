@@ -20,6 +20,7 @@ the sampling math.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -187,6 +188,23 @@ def forward(
     scale = cfg.head_dim_**-0.5
     n_rep = cfg.num_heads // cfg.num_kv_heads
 
+    # Flash decode attention (ops/pallas/flash_decode.py): O(valid length)
+    # HBM traffic instead of O(S) for causal decode/verify windows on TPU.
+    # Dense fallback for tree-masked windows, quantized caches (dequant is
+    # fused with the dense path), large windows, and non-TPU backends.
+    from duodecoding_tpu.ops.pallas.flash_decode import pick_flash_block
+
+    flash_block = pick_flash_block(S, cfg.num_kv_heads, cfg.head_dim_)
+    use_flash = (
+        window_mask is None
+        and position_offsets is None
+        and not quantized_kv
+        and T * n_rep <= 128
+        and flash_block > 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("DUODEC_NO_FLASH") != "1"
+    )
+
     def mm(x, w):
         """Dense or INT4-groupwise matmul (models/quant.py dicts dispatch to
         the fused Pallas dequant+matmul kernel)."""
@@ -228,6 +246,23 @@ def forward(
             k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
             k_eff, v_eff = k_cache, v_cache
+
+        if use_flash:
+            from duodecoding_tpu.ops.pallas.flash_decode import (
+                flash_decode_attention,
+            )
+
+            ctx = flash_decode_attention(
+                q, k_eff, v_eff, start, block_k=flash_block
+            ).astype(h.dtype)
+            ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
+            h = h + mm(ctx, lp["wo"])
+            x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
+            gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(
+                x.dtype
+            )
+            h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+            return h, (k_cache, v_cache)
 
         # GQA: group query heads over kv heads; MXU matmuls with f32 accum
         qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)

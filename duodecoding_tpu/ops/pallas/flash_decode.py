@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: flash decode attention over a fixed-shape KV cache.
+
+The engine's caches are fixed-shape ``[B, S, Hkv, D]`` with a scalar valid
+``length`` (models/transformer.py) — the dense path computes scores over
+all S positions and masks the dead tail, which reads the whole cache from
+HBM every step (the reference pays the same with its growable buffers,
+src/model_gpu.py:62 max_length=16384). This kernel makes decode-time
+attention O(valid length):
+
+- grid = (B, S/block_k); the KV-block index map clamps trailing blocks to
+  the last VALID block (scalar-prefetched ``n_blocks``), and Pallas skips
+  the DMA when consecutive grid steps map to the same block — the dead
+  cache tail is never fetched;
+- KV blocks keep the cache's native ``[block_k, Hkv, D]`` layout (no
+  transposes of the cache in HBM); heads are iterated inside the kernel;
+- online softmax (running m/l/acc in VMEM scratch, guide
+  boom_attention_tricks.md §2-4) across KV blocks; accumulators finalise
+  on the last grid step.
+
+Used for causal decode/verify windows (T small); prefill and tree-masked
+windows keep the dense path (prefill is compute-bound; tree masks need
+arbitrary [T, S] visibility).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _rt_pad(rt: int) -> int:
+    return max(8, ((rt + 7) // 8) * 8)
+
+
+def _kernel(
+    n_blocks_ref,  # scalar prefetch: [1] int32 — number of valid KV blocks
+    length_ref,  # scalar prefetch: [1] int32 — cache length before window
+    q_ref,  # [1, Hkv, RT, D]
+    k_ref,  # [1, block_k, Hkv, D]
+    v_ref,  # [1, block_k, Hkv, D]
+    o_ref,  # [1, Hkv, RT, D]
+    m_scr,  # [Hkv*RTp, 128] f32
+    l_scr,  # [Hkv*RTp, 128] f32
+    acc_scr,  # [Hkv*RTp, D] f32
+    *,
+    block_k: int,
+    T: int,
+    scale: float,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    Hkv = q_ref.shape[1]
+    RT = q_ref.shape[2]
+    RTp = _rt_pad(RT)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    @pl.when(j < n_blocks_ref[0])
+    def _block():
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (RT, block_k), 1
+        )
+        t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, block_k), 0) % T
+        visible = k_pos <= length_ref[0] + t_row  # causal
+
+        for h in range(Hkv):
+            q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
+            k = k_ref[0, :, h].astype(jnp.float32)  # [block_k, D]
+            v = v_ref[0, :, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [RT, block_k]
+            s = jnp.where(visible, s, NEG_INF)
+
+            a, b = h * RTp, h * RTp + RT
+            m_prev = m_scr[a:b, :1]  # [RT, 1]
+            l_prev = l_scr[a:b, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc_scr[a:b, :] = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[a:b, :] = jnp.broadcast_to(m_next, (RT, m_scr.shape[1]))
+            l_scr[a:b, :] = jnp.broadcast_to(l_next, (RT, l_scr.shape[1]))
+
+    @pl.when(j == nj - 1)
+    def _finalize():
+        for h in range(Hkv):
+            a, b = h * RTp, h * RTp + RT
+            l = l_scr[a:b, :1]
+            o_ref[0, h] = (
+                acc_scr[a:b, :] / jnp.maximum(l, 1e-30)
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_k", "interpret")
+)
+def flash_decode_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k_cache: jax.Array,  # [B, S, Hkv, D]
+    v_cache: jax.Array,  # [B, S, Hkv, D]
+    length: jax.Array,  # scalar int32 — valid positions BEFORE this window
+    *,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal attention of a T-token decode window (already written into
+    the cache at [length, length+T)) over the valid prefix. Returns
+    [B, T, H, D] in q.dtype."""
+    B, T, H, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    rep = H // Hkv
+    RT = rep * T
+    block_k = min(block_k, S)
+    if S % block_k:
+        raise ValueError(f"S={S} must be divisible by block_k={block_k}")
+    scale = D**-0.5
+
+    # [B, T, H, D] -> [B, Hkv, rep*T, D] (row = r*T + t)
+    qg = q.reshape(B, T, Hkv, rep, D).transpose(0, 2, 3, 1, 4).reshape(
+        B, Hkv, RT, D
+    )
+    length = jnp.asarray(length, jnp.int32)
+    n_blocks = jnp.maximum((length + T + block_k - 1) // block_k, 1)
+    scalars = jnp.stack([n_blocks, length]).astype(jnp.int32)
+
+    grid = (B, S // block_k)
+    RTp = _rt_pad(RT)
+
+    def q_map(b, j, nb, ln):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, j, nb, ln):
+        return (b, jnp.minimum(j, nb[0] - 1), 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_k=block_k, T=T, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, Hkv, RT, D), q_map),
+                pl.BlockSpec((1, block_k, Hkv, D), kv_map),
+                pl.BlockSpec((1, block_k, Hkv, D), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, RT, D), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),
+        interpret=interpret,
+    )(scalars[:1], scalars[1:], qg, k_cache, v_cache)
+
+    # [B, Hkv, rep*T, D] -> [B, T, H, D]
+    return out.reshape(B, Hkv, rep, T, D).transpose(0, 3, 1, 2, 4).reshape(
+        B, T, H, D
+    )
+
+
+def pick_flash_block(S: int, Hkv: int, D: int) -> int:
+    """Largest block_k dividing S whose K+V VMEM footprint (double
+    buffered) stays within ~6 MB."""
+    budget = 6 * 1024 * 1024
+    for b in (512, 256, 128):
+        if S % b == 0 and 4 * b * Hkv * D * 2 <= budget:
+            return b
+    return 128 if S % 128 == 0 else 0
+
+
+def flash_decode_reference(q, k_cache, v_cache, length):
+    """Dense jnp reference (mirrors models/transformer.py's masked path)."""
+    B, T, H, D = q.shape
+    S = k_cache.shape[1]
+    Hkv = k_cache.shape[2]
+    rep = H // Hkv
+    qg = q.reshape(B, T, Hkv, rep, D)
+    scores = jnp.einsum(
+        "btgrd,bsgd->bgrts", qg, k_cache, preferred_element_type=jnp.float32
+    ) * (D**-0.5)
+    k_pos = jnp.arange(S)
+    q_pos = length + jnp.arange(T)
+    mask = k_pos[None, :] <= q_pos[:, None]
+    scores = jnp.where(mask[None, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bgrts,bsgd->btgrd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return ctx.reshape(B, T, H, D).astype(q.dtype)

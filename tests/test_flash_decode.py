@@ -1,0 +1,60 @@
+"""Flash decode attention kernel: parity with the dense masked path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from duodecoding_tpu.ops.pallas.flash_decode import (
+    flash_decode_attention,
+    flash_decode_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "B,T,H,Hkv,D,S,length,block_k",
+    [
+        (1, 1, 4, 2, 64, 256, 17, 128),  # plain decode, GQA
+        (1, 5, 4, 4, 64, 256, 40, 128),  # verify window, MHA
+        (2, 1, 8, 2, 64, 512, 300, 128),  # batched
+        (1, 3, 4, 2, 64, 256, 0, 128),  # empty prefix (prefill head)
+        (1, 1, 4, 2, 64, 256, 255, 128),  # nearly full cache
+    ],
+)
+def test_flash_matches_dense(B, T, H, Hkv, D, S, length, block_k):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    # stale tail should not affect the result: poison it
+    k = k.at[:, length + T :].set(1e3)
+    v = v.at[:, length + T :].set(1e3)
+    out = flash_decode_attention(
+        q, k, v, jnp.int32(length), block_k=block_k, interpret=True
+    )
+    ref = flash_decode_reference(q, k, v, jnp.int32(length))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_poisoned_tail_does_not_leak():
+    """Large stale garbage beyond the valid region must not affect the
+    output (the fixed-shape cache always carries stale data past
+    `length`; stale data is finite — old K/V rows)."""
+    rng = np.random.default_rng(1)
+    B, T, H, Hkv, D, S = 1, 2, 4, 2, 64, 256
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    out_clean = flash_decode_attention(
+        q, k, v, jnp.int32(48), interpret=True, block_k=128
+    )
+    k = k.at[:, 50:].set(1e6)
+    v = v.at[:, 50:].set(-1e6)
+    out = flash_decode_attention(q, k, v, jnp.int32(48), interpret=True, block_k=128)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_clean), rtol=1e-5, atol=1e-5
+    )
