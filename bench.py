@@ -80,29 +80,24 @@ def measured_accept(engine, prompt) -> float:
     return m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
 
 
-def calibrate_alpha(
-    cfg, params, k_draft, prompt, *, gamma, max_seq_len, int8_kv,
-    calib_tokens=64, iters=7,
-):
-    """Log-space bisection on the residual scale until the measured SD
-    accept rate matches TARGET_ACCEPT (accept decreases as alpha grows)."""
-    from duodecoding_tpu.models.surgery import scale_residual, truncate_model
-
+def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag=""):
+    """Log-space bisection on the residual scale where each probe IS the
+    full final measurement — the reported run's accept rate is the
+    calibrated one, with zero calibration-vs-measurement drift.
+    ``measure(alpha) -> dict`` must contain an ``accept`` key (decreasing
+    in alpha). Returns the best measurement dict."""
     lo, hi = 1e-4, 0.5
     best = None
     for it in range(iters):
         alpha = math.sqrt(lo * hi)
-        tp = scale_residual(params, alpha)
-        dcfg, dp = truncate_model(cfg, tp, k_draft)
-        eng = make_engine(
-            cfg, tp, dcfg, dp, gamma=gamma, max_tokens=calib_tokens,
-            max_seq_len=max_seq_len, int8_kv=int8_kv,
-        )
-        acc = measured_accept(eng, prompt)
-        log(f"[bench] calibrate alpha={alpha:.5f} sd-accept={acc:.3f}")
-        if best is None or abs(acc - TARGET_ACCEPT) < abs(best[1] - TARGET_ACCEPT):
-            best = (alpha, acc)
-        if abs(acc - TARGET_ACCEPT) < 0.02:
+        res = measure(alpha)
+        acc = res["accept"]
+        log(f"[bench]{tag} calibrate alpha={alpha:.5f} accept={acc:.3f}")
+        if best is None or abs(acc - TARGET_ACCEPT) < abs(
+            best["accept"] - TARGET_ACCEPT
+        ):
+            best = res
+        if abs(acc - TARGET_ACCEPT) <= tol:
             break
         if acc > TARGET_ACCEPT:
             lo = alpha
@@ -206,19 +201,28 @@ def part_a_13b(tiny):
 
     rng = np.random.default_rng(0)
     prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
-    calib_prompt = prompts[0][None, :]
 
-    alpha, acc = calibrate_alpha(
-        cfg, qparams, k_draft, calib_prompt, gamma=gamma,
-        max_seq_len=S, int8_kv=int8_kv,
-        calib_tokens=max_new // 2, iters=4 if tiny else 7,
+    def measure_sd(alpha, g=gamma):
+        tp = scale_residual(qparams, alpha)
+        dcfg, dp = truncate_model(cfg, tp, k_draft)
+        eng = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
+                          max_seq_len=S, int8_kv=int8_kv)
+        eng.run("sd", prompts[0][None, :])  # warmup (compiles cached)
+        tps, acc = run_prompts(eng, "sd", prompts[1:])
+        return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g}
+
+    best = calibrate_on_measurement(
+        measure_sd, iters=3 if tiny else 8, tag=" A:"
     )
-    log(f"[bench] A: calibrated alpha={alpha:.5f} accept={acc:.3f}")
+    alpha = best["alpha"]
+    log(f"[bench] A: calibrated alpha={alpha:.5f} accept={best['accept']:.3f} "
+        f"sd {best['tps']:.2f} tok/s (gamma={gamma})")
     tp = scale_residual(qparams, alpha)
     dcfg, dp = truncate_model(cfg, tp, k_draft)
 
     results = {}
-    # AR baseline (own, on-chip, same INT4+INT8KV target)
+    # AR baseline (own, on-chip, same INT4+INT8KV target; weights do not
+    # affect AR throughput)
     eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
                       max_seq_len=S, int8_kv=int8_kv)
     t0 = time.time()
@@ -241,19 +245,22 @@ def part_a_13b(tiny):
     log(f"[bench] A: AR speed-of-light {sol_tps:.1f} tok/s -> "
         f"{100*results['ar_sol_frac']:.0f}% of roof")
 
-    best = (0.0, 0, 0.0)
-    for g in ((3,) if tiny else (4, 8)):
-        e = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
-                        max_seq_len=S, int8_kv=int8_kv)
-        t0 = time.time()
-        e.run("sd", prompts[0][None, :])
-        log(f"[bench] A: sd gamma={g} warmup {time.time()-t0:.1f}s")
-        tps, acc_g = run_prompts(e, "sd", prompts[1:])
-        log(f"[bench] A: sd gamma={g}: {tps:.2f} tok/s accept={acc_g:.3f}")
-        if tps > best[0]:
-            best = (tps, g, acc_g)
-    results["sd_tps"], results["sd_gamma"], results["sd_accept"] = best
-    results["speedup"] = best[0] / ar_tps if ar_tps else 0.0
+    # calibrated-gamma run already measured; probe a second gamma at the
+    # same alpha (per-position draft quality fixed; the WINDOW accept rate
+    # naturally shifts with gamma)
+    runs = [best]
+    if not tiny:
+        runs.append(measure_sd(alpha, g=8))
+        log(f"[bench] A: sd gamma=8: {runs[-1]['tps']:.2f} tok/s "
+            f"accept={runs[-1]['accept']:.3f}")
+    top = max(runs, key=lambda r: r["tps"])
+    results["sd_tps"] = top["tps"]
+    results["sd_gamma"] = top["gamma"]
+    results["sd_accept"] = top["accept"]
+    results["sd_runs"] = [
+        {k: v for k, v in r.items()} for r in runs
+    ]
+    results["speedup"] = top["tps"] / ar_tps if ar_tps else 0.0
     results["alpha"] = alpha
     results["param_bytes"] = pbytes
 
@@ -293,64 +300,51 @@ def part_b_dssd(tiny):
 
     rng = np.random.default_rng(1)
     prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
-    calib_prompt = prompts[0][None, :]
 
-    # calibrate with the INT4-quantized draft IN the loop (post-quant
-    # accept matching — the quantization error is inside the measurement)
-    lo, hi = 1e-4, 0.5
-    best = None
-    for it in range(4 if tiny else 7):
-        alpha = math.sqrt(lo * hi)
+    # calibration probes ARE the full dssd measurement, with the
+    # INT4-quantized draft in the loop (post-quant accept matching — the
+    # quantization error is inside the measurement)
+    def measure_dssd(alpha):
         tp = scale_residual(t_params, alpha)
         dcfg, dp = truncate_model(cfg, tp, k_draft)
         dp = quantize_params(dp, group_size=group)
-        eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma,
-                          max_tokens=max_new // 2, max_seq_len=S,
-                          int8_kv=int8_kv)
-        acc = measured_accept(eng, calib_prompt)
-        log(f"[bench] B: calibrate alpha={alpha:.5f} sd-accept={acc:.3f}")
-        if best is None or abs(acc - TARGET_ACCEPT) < abs(best[1] - TARGET_ACCEPT):
-            best = (alpha, acc)
-        if abs(acc - TARGET_ACCEPT) < 0.02:
-            break
-        if acc > TARGET_ACCEPT:
-            lo = alpha
-        else:
-            hi = alpha
-    alpha, acc = best
-    log(f"[bench] B: calibrated alpha={alpha:.5f} accept={acc:.3f}")
-    tp = scale_residual(t_params, alpha)
-    dcfg, dp = truncate_model(cfg, tp, k_draft)
-    dp = quantize_params(dp, group_size=group)
+        eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
+                          max_seq_len=S, int8_kv=int8_kv, comm=True)
+        eng.run("dist_split_spec", prompts[0][None, :], transfer_top_k=1024)
+        toks = 0
+        wall = comm = 0.0
+        accepts = []
+        for i in range(n_prompts):
+            out, m = eng.run(
+                "dist_split_spec", prompts[i + 1][None, :],
+                transfer_top_k=1024,
+            )
+            toks += m["generated_tokens"]
+            wall += m["wall_time"]
+            comm += m["communication_time"]
+            accepts.append(
+                m["draft_accepted_tokens"]
+                / max(m["draft_generated_tokens"], 1)
+            )
+        return {
+            "alpha": alpha,
+            "tps": toks / max(wall, 1e-9),
+            "accept": float(np.mean(accepts)),
+            "comm_time": comm,
+            "wall_time": wall,
+        }
 
-    eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
-                      max_seq_len=S, int8_kv=int8_kv, comm=True)
-    t0 = time.time()
-    eng.run("dist_split_spec", prompts[0][None, :], transfer_top_k=1024)
-    log(f"[bench] B: warmup {time.time()-t0:.1f}s")
-    toks = 0
-    wall = 0.0
-    accepts = []
-    for i in range(n_prompts):
-        out, m = eng.run(
-            "dist_split_spec", prompts[i + 1][None, :], transfer_top_k=1024
-        )
-        toks += m["generated_tokens"]
-        wall += m["wall_time"]
-        accepts.append(
-            m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
-        )
-        log(f"[bench] B: prompt {i}: wall {m['wall_time']:.2f}s "
-            f"(comm {m['communication_time']:.2f}s) "
-            f"{m['throughput']:.2f} tok/s")
-    tps = toks / max(wall, 1e-9)
-    log(f"[bench] B: dssd {tps:.2f} tok/s (mean accept "
-        f"{float(np.mean(accepts)):.3f}) vs reference {DSSD_BASELINE_TPS}")
+    best = calibrate_on_measurement(
+        measure_dssd, iters=3 if tiny else 8, tag=" B:"
+    )
+    log(f"[bench] B: dssd {best['tps']:.2f} tok/s at accept "
+        f"{best['accept']:.3f} (comm {best['comm_time']:.1f}s of "
+        f"{best['wall_time']:.1f}s) vs reference {DSSD_BASELINE_TPS}")
     return {
-        "dssd_tps": tps,
-        "dssd_accept": float(np.mean(accepts)),
-        "dssd_vs_reference": tps / DSSD_BASELINE_TPS,
-        "alpha": alpha,
+        "dssd_tps": best["tps"],
+        "dssd_accept": best["accept"],
+        "dssd_vs_reference": best["tps"] / DSSD_BASELINE_TPS,
+        "alpha": best["alpha"],
     }
 
 

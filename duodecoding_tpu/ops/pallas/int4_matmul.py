@@ -30,6 +30,7 @@ Falls back to the jnp reference implementation off-TPU (and under
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,8 +69,40 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int):
     o_ref[:] = acc
 
 
+def _kernel_fused(
+    x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int
+):
+    """One-big-dot variant: scales are folded into the unpacked codes
+    (one VPU multiply over [K, TN]) so the whole K reduces in a single
+    MXU dot, plus a [TM, G] @ [G, TN] dot for the zero offsets. Fewer,
+    larger MXU ops than the per-group loop — wins when Mosaic overhead
+    per small dot dominates (decode-time M <= 8)."""
+    x = x_ref[:]  # [TM, K] bf16
+    G = K // group_size
+    p = p_ref[:].astype(jnp.int32)  # [K/2, TN]
+    low = (p & 0xF).astype(jnp.bfloat16)
+    high = ((p >> 4) & 0xF).astype(jnp.bfloat16)
+    codes = jnp.concatenate([low, high], axis=0)  # [K, TN]
+    s = s_ref[:]  # [G, TN] f32
+    sr = jnp.broadcast_to(
+        s[:, None, :], (G, group_size, s.shape[1])
+    ).reshape(K, s.shape[1])
+    codes = codes * sr.astype(jnp.bfloat16)
+    y = jnp.dot(x, codes, preferred_element_type=jnp.float32)  # [TM, TN]
+    TM = x.shape[0]
+    xg = (
+        x.astype(jnp.float32).reshape(TM, G, group_size).sum(axis=-1)
+    )  # [TM, G]
+    y = y + jnp.dot(
+        xg.astype(jnp.bfloat16), z_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y
+
+
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "tile_m", "tile_n", "interpret")
+    jax.jit,
+    static_argnames=("group_size", "tile_m", "tile_n", "interpret", "fused"),
 )
 def _int4_matmul_2d(
     x: jax.Array,  # [M, K] bf16 (M divisible by tile_m)
@@ -80,13 +113,16 @@ def _int4_matmul_2d(
     tile_m: int,
     tile_n: int,
     interpret: bool = False,
+    fused: bool = True,
 ):
     M, K = x.shape
     N = packed.shape[1]
     n_groups = K // group_size
     grid = (M // tile_m, N // tile_n)
 
-    kernel = functools.partial(_kernel, group_size=group_size, K=K)
+    kernel = functools.partial(
+        _kernel_fused if fused else _kernel, group_size=group_size, K=K
+    )
     flops = 2 * M * K * N
     bytes_accessed = K // 2 * N + 2 * 4 * n_groups * N + M * K * 2 + M * N * 4
     return pl.pallas_call(
@@ -134,11 +170,15 @@ def _pick_tile_m(m: int, k: int) -> int:
     return min(m, cap)
 
 
-def int4_matmul(x: jax.Array, q: dict, interpret: bool | None = None) -> jax.Array:
+def int4_matmul(
+    x: jax.Array, q: dict, interpret: bool | None = None,
+    fused: bool | None = None,
+) -> jax.Array:
     """x [..., K] @ int4-groupwise-quantized W [K, N] -> [..., N] f32.
 
     Uses the Pallas kernel on TPU (or interpret mode when requested);
-    otherwise the jnp reference path.
+    otherwise the jnp reference path. ``fused`` selects the one-big-dot
+    kernel (default) vs the per-group loop.
     """
     from duodecoding_tpu.models.quant import q_meta
 
@@ -152,6 +192,8 @@ def int4_matmul(x: jax.Array, q: dict, interpret: bool | None = None) -> jax.Arr
             return int4_matmul_reference(x, q)
     if tile_n == 0:
         return int4_matmul_reference(x, q)
+    if fused is None:
+        fused = os.environ.get("DUODEC_INT4_GROUPED") != "1"
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
@@ -160,5 +202,7 @@ def int4_matmul(x: jax.Array, q: dict, interpret: bool | None = None) -> jax.Arr
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    out = _int4_matmul_2d(x2, packed, scales, zeros, gs, tile_m, tile_n, interpret)
+    out = _int4_matmul_2d(
+        x2, packed, scales, zeros, gs, tile_m, tile_n, interpret, fused
+    )
     return out[:M].reshape(*lead, N)

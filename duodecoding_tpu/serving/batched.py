@@ -87,14 +87,27 @@ def forward_batched(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        # per-row scatter at [b, lengths[b] + t]
-        idx = positions  # [B, T]
-        k_new = jnp.where(active[:, None, None, None], k, 0)
-        k_cache = k_cache.at[rows[:, None], idx].set(
-            jnp.where(active[:, None, None, None], k, k_cache[rows[:, None], idx])
-        )
-        v_cache = v_cache.at[rows[:, None], idx].set(
-            jnp.where(active[:, None, None, None], v, v_cache[rows[:, None], idx])
+        # per-row write at [b, lengths[b] + t]: a vmapped
+        # dynamic_update_slice instead of an advanced-indexing scatter —
+        # gather/scatter-in-while compiles pathologically slowly on the
+        # TPU compiler (>9 min at serving shapes), while batched DUS
+        # lowers to a simple masked store
+        def write_row(kc, vc, kr, vr, pos, act):
+            cur_k = jax.lax.dynamic_slice(
+                kc, (pos, 0, 0), (T, kc.shape[1], kc.shape[2])
+            )
+            cur_v = jax.lax.dynamic_slice(
+                vc, (pos, 0, 0), (T, vc.shape[1], vc.shape[2])
+            )
+            kr = jnp.where(act, kr, cur_k)
+            vr = jnp.where(act, vr, cur_v)
+            return (
+                jax.lax.dynamic_update_slice(kc, kr, (pos, 0, 0)),
+                jax.lax.dynamic_update_slice(vc, vr, (pos, 0, 0)),
+            )
+
+        k_cache, v_cache = jax.vmap(write_row)(
+            k_cache, v_cache, k, v, lengths, active
         )
 
         qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
