@@ -189,16 +189,15 @@ def forward(
     n_rep = cfg.num_heads // cfg.num_kv_heads
 
     # Flash decode attention (ops/pallas/flash_decode.py): O(valid length)
-    # HBM traffic instead of O(S) for causal decode/verify windows on TPU.
-    # Dense fallback for tree-masked windows, quantized caches (dequant is
-    # fused with the dense path), large windows, and non-TPU backends.
+    # HBM traffic instead of O(S) for causal decode/verify windows on TPU;
+    # int8 caches dequantize IN-kernel (scores/probs scale folding).
+    # Dense fallback for tree-masked windows, large windows, non-TPU.
     from duodecoding_tpu.ops.pallas.flash_decode import pick_flash_block
 
     flash_block = pick_flash_block(S, cfg.num_kv_heads, cfg.head_dim_)
     use_flash = (
         window_mask is None
         and position_offsets is None
-        and not quantized_kv
         and T * n_rep <= 128
         and flash_block > 0
         and jax.default_backend() == "tpu"
@@ -233,6 +232,15 @@ def forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
+        def finish(ctx, h):
+            ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
+            h = h + mm(ctx, lp["wo"])
+            x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
+            gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(
+                x.dtype
+            )
+            return h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+
         if quantized_kv:
             k_codes, k_s = quantize_kv(k)
             v_codes, v_s = quantize_kv(v)
@@ -240,29 +248,32 @@ def forward(
             v_cache = jax.lax.dynamic_update_slice(v_cache, v_codes, (0, start, 0, 0))
             k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
             v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
+            if use_flash:
+                from duodecoding_tpu.ops.pallas.flash_decode import (
+                    flash_decode_attention,
+                )
+
+                # in-kernel int8 dequant: the bf16 cache never materialises
+                ctx = flash_decode_attention(
+                    q, k_cache, v_cache, start, k_sc, v_sc,
+                    block_k=flash_block,
+                ).astype(h.dtype)
+                return finish(ctx, h), (k_cache, v_cache, k_sc, v_sc)
             k_eff = dequantize_kv(k_cache, k_sc, h.dtype)
             v_eff = dequantize_kv(v_cache, v_sc, h.dtype)
         else:
             k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
             k_eff, v_eff = k_cache, v_cache
+            if use_flash:
+                from duodecoding_tpu.ops.pallas.flash_decode import (
+                    flash_decode_attention,
+                )
 
-        if use_flash:
-            from duodecoding_tpu.ops.pallas.flash_decode import (
-                flash_decode_attention,
-            )
-
-            ctx = flash_decode_attention(
-                q, k_eff, v_eff, start, block_k=flash_block
-            ).astype(h.dtype)
-            ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
-            h = h + mm(ctx, lp["wo"])
-            x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
-            gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(
-                x.dtype
-            )
-            h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
-            return h, (k_cache, v_cache)
+                ctx = flash_decode_attention(
+                    q, k_eff, v_eff, start, block_k=flash_block
+                ).astype(h.dtype)
+                return finish(ctx, h), (k_cache, v_cache)
 
         # GQA: group query heads over kv heads; MXU matmuls with f32 accum
         qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
@@ -280,12 +291,7 @@ def forward(
             v_eff,
             preferred_element_type=jnp.float32,
         ).astype(h.dtype)
-        ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
-        h = h + mm(ctx, lp["wo"])
-
-        x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+        h = finish(ctx.reshape(B, T, cfg.num_heads, cfg.head_dim_), h)
         if quantized_kv:
             return h, (k_cache, v_cache, k_sc, v_sc)
         return h, (k_cache, v_cache)

@@ -42,22 +42,22 @@ def _kernel(
     n_blocks_ref,  # scalar prefetch: [1] int32 — number of valid KV blocks
     length_ref,  # scalar prefetch: [1] int32 — cache length before window
     q_ref,  # [1, Hkv, RT, D]
-    k_ref,  # [1, block_k, Hkv, D]
+    k_ref,  # [1, block_k, Hkv, D] (bf16/f32 dense, or int8 codes)
     v_ref,  # [1, block_k, Hkv, D]
-    o_ref,  # [1, Hkv, RT, D]
-    m_scr,  # [Hkv*RTp, 128] f32
-    l_scr,  # [Hkv*RTp, 128] f32
-    acc_scr,  # [Hkv*RTp, D] f32
-    *,
+    *rest,  # quantized: ks_ref [1, block_k, Hkv], vs_ref, then outputs
     block_k: int,
     T: int,
     scale: float,
+    quant: bool,
 ):
+    if quant:
+        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     Hkv = q_ref.shape[1]
     RT = q_ref.shape[2]
-    RTp = _rt_pad(RT)
 
     @pl.when(j == 0)
     def _init():
@@ -71,41 +71,46 @@ def _kernel(
             jnp.int32, (RT, block_k), 1
         )
         t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, block_k), 0) % T
-        visible = k_pos <= length_ref[0] + t_row  # causal
+        visible = k_pos <= length_ref[0] + t_row  # [RT, block_k] causal
 
-        for h in range(Hkv):
-            q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
-            k = k_ref[0, :, h].astype(jnp.float32)  # [block_k, D]
-            v = v_ref[0, :, h].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [RT, block_k]
-            s = jnp.where(visible, s, NEG_INF)
+        # one batched dot over all heads (no per-head unroll — keeps the
+        # kernel IR small so Mosaic compiles fast at 40-head shapes)
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, RT, D]
+        k = k_ref[0].astype(jnp.float32)  # [block_k, Hkv, D]
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Hkv, RT, block_k]
+        if quant:
+            # int8 dequant folded into score columns (per-position-per-head
+            # scales, models/kv_quant.py)
+            s = s * ks_ref[0].T[:, None, :]
+        s = jnp.where(visible[None, :, :], s, NEG_INF)
 
-            a, b = h * RTp, h * RTp + RT
-            m_prev = m_scr[a:b, :1]  # [RT, 1]
-            l_prev = l_scr[a:b, :1]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            acc_scr[a:b, :] = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_scr[a:b, :] = jnp.broadcast_to(m_next, (RT, m_scr.shape[1]))
-            l_scr[a:b, :] = jnp.broadcast_to(l_next, (RT, l_scr.shape[1]))
+        m_prev = m_scr[:, :RT, :1]  # [Hkv, RT, 1]
+        l_prev = l_scr[:, :RT, :1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [Hkv, RT, block_k]
+        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        if quant:
+            p = p * vs_ref[0].T[:, None, :]  # fold V scales into probs
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, RT, D]
+        acc_scr[:, :RT, :] = acc_scr[:, :RT, :] * alpha + pv
+        m_scr[:, :RT, :] = jnp.broadcast_to(m_next, (Hkv, RT, m_scr.shape[2]))
+        l_scr[:, :RT, :] = jnp.broadcast_to(l_next, (Hkv, RT, l_scr.shape[2]))
 
     @pl.when(j == nj - 1)
     def _finalize():
-        for h in range(Hkv):
-            a, b = h * RTp, h * RTp + RT
-            l = l_scr[a:b, :1]
-            o_ref[0, h] = (
-                acc_scr[a:b, :] / jnp.maximum(l, 1e-30)
-            ).astype(o_ref.dtype)
+        l = l_scr[:, :RT, :1]
+        o_ref[0] = (
+            acc_scr[:, :RT, :] / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -113,16 +118,24 @@ def _kernel(
 )
 def flash_decode_attention(
     q: jax.Array,  # [B, T, H, D]
-    k_cache: jax.Array,  # [B, S, Hkv, D]
+    k_cache: jax.Array,  # [B, S, Hkv, D] (bf16/f32, or int8 codes)
     v_cache: jax.Array,  # [B, S, Hkv, D]
     length: jax.Array,  # scalar int32 — valid positions BEFORE this window
+    k_scale: jax.Array | None = None,  # [B, S, Hkv] f32 (int8 caches)
+    v_scale: jax.Array | None = None,
     *,
     block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Causal attention of a T-token decode window (already written into
     the cache at [length, length+T)) over the valid prefix. Returns
-    [B, T, H, D] in q.dtype."""
+    [B, T, H, D] in q.dtype.
+
+    With ``k_scale``/``v_scale`` given, the caches hold int8 codes
+    (models/kv_quant.py) and dequantization happens in-kernel: K scales
+    fold into the score columns, V scales into the probability rows — the
+    bf16 cache never materialises, so int8 halves the attention HBM
+    traffic for real."""
     B, T, H, D = q.shape
     S = k_cache.shape[1]
     Hkv = k_cache.shape[2]
@@ -132,6 +145,7 @@ def flash_decode_attention(
     if S % block_k:
         raise ValueError(f"S={S} must be divisible by block_k={block_k}")
     scale = D**-0.5
+    quant = k_scale is not None
 
     # [B, T, H, D] -> [B, Hkv, rep*T, D] (row = r*T + t)
     qg = q.reshape(B, T, Hkv, rep, D).transpose(0, 2, 3, 1, 4).reshape(
@@ -150,26 +164,40 @@ def flash_decode_attention(
     def kv_map(b, j, nb, ln):
         return (b, jnp.minimum(j, nb[0] - 1), 0, 0)
 
+    def s_map(b, j, nb, ln):
+        return (b, jnp.minimum(j, nb[0] - 1), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, RT, D), q_map),
+        pl.BlockSpec((1, block_k, Hkv, D), kv_map),
+        pl.BlockSpec((1, block_k, Hkv, D), kv_map),
+    ]
+    args = [scalars[:1], scalars[1:], qg, k_cache, v_cache]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, block_k, Hkv), s_map),
+            pl.BlockSpec((1, block_k, Hkv), s_map),
+        ]
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=block_k, T=T, scale=scale),
+        functools.partial(
+            _kernel, block_k=block_k, T=T, scale=scale, quant=quant
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hkv, RT, D), q_map),
-                pl.BlockSpec((1, block_k, Hkv, D), kv_map),
-                pl.BlockSpec((1, block_k, Hkv, D), kv_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hkv, RT, D), q_map),
             scratch_shapes=[
-                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
-                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
-                pltpu.VMEM((Hkv * RTp, D), jnp.float32),
+                pltpu.VMEM((Hkv, RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv, RTp, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),
         interpret=interpret,
-    )(scalars[:1], scalars[1:], qg, k_cache, v_cache)
+    )(*args)
 
     # [B, Hkv, rep*T, D] -> [B, T, H, D]
     return out.reshape(B, Hkv, rep, T, D).transpose(0, 3, 1, 2, 4).reshape(

@@ -241,25 +241,46 @@ def spec_batched_step(
         logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
     )
 
-    q_rows = []
-    for i in range(gamma):
-        key, k_s = jax.random.split(key)
+    # --- drafting as ONE lax.scan (gamma-1 forwards; the last token needs
+    # no forward) instead of an unrolled Python loop: one traced body =
+    # fast compiles at any gamma (engine/loops.py-style device residency)
+    def emit(q, k_s):
         if sampling.greedy:
-            tok = jnp.argmax(q_cur, axis=-1).astype(jnp.int32)
-        else:
-            tok = sample(k_s, q_cur)[:, 0]
-        token_buf = token_buf.at[rows, p + i].set(
-            jnp.where(active, tok, token_buf[rows, p + i])
+            return jnp.argmax(q, axis=-1).astype(jnp.int32)
+        return sample(k_s, q)[:, 0]
+
+    def draft_step(carry, _):
+        q, dc, k = carry
+        k, k_s = jax.random.split(k)
+        tok = emit(q, k_s)
+        logits, dc = forward_batched(
+            draft_params, draft_cfg, tok[:, None], dc, active
         )
-        q_rows.append(q_cur)
-        if i < gamma - 1:
-            logits, d_cache = forward_batched(
-                draft_params, draft_cfg, tok[:, None], d_cache, active
-            )
-            q_cur = norm_logits(
-                logits[:, -1, :], sampling.temperature, sampling.top_k, sampling.top_p
-            )
-    q_window = jnp.stack(q_rows, axis=1)  # [B, gamma, Vd]
+        q_next = norm_logits(
+            logits[:, -1, :], sampling.temperature, sampling.top_k,
+            sampling.top_p,
+        )
+        return (q_next, dc, k), (tok, q)
+
+    (q_last, d_cache, key), (toks_seq, q_seq) = jax.lax.scan(
+        draft_step, (q_cur, d_cache, key), None, length=gamma - 1
+    )
+    key, k_s = jax.random.split(key)
+    tok_last = emit(q_last, k_s)
+    draft_toks_all = jnp.concatenate(
+        [toks_seq.transpose(1, 0), tok_last[:, None]], axis=1
+    )  # [B, gamma]
+    q_window = jnp.concatenate(
+        [q_seq.transpose(1, 0, 2), q_last[:, None, :]], axis=1
+    )  # [B, gamma, Vd]
+
+    def write_drafts(buf_row, dr, pos, act):
+        cur = jax.lax.dynamic_slice(buf_row, (pos,), (gamma,))
+        return jax.lax.dynamic_update_slice(
+            buf_row, jnp.where(act, dr, cur), (pos,)
+        )
+
+    token_buf = jax.vmap(write_drafts)(token_buf, draft_toks_all, p, active)
 
     # --- batched verify: T = gamma+1 per row from p-1 ---
     ver_idx = p[:, None] - 1 + jnp.arange(gamma + 1)[None, :]

@@ -20,6 +20,7 @@ from duodecoding_tpu.ops.pallas.flash_decode import (
         (2, 1, 8, 2, 64, 512, 300, 128),  # batched
         (1, 3, 4, 2, 64, 256, 0, 128),  # empty prefix (prefill head)
         (1, 1, 4, 2, 64, 256, 255, 128),  # nearly full cache
+        (1, 1, 8, 2, 64, 4096, 2900, 512),  # long context
     ],
 )
 def test_flash_matches_dense(B, T, H, Hkv, D, S, length, block_k):
@@ -57,4 +58,31 @@ def test_poisoned_tail_does_not_leak():
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_clean), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_flash_int8_matches_dequant_dense():
+    """In-kernel int8 dequant == dense attention over the dequantized
+    cache (models/kv_quant.py scales)."""
+    from duodecoding_tpu.models.kv_quant import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(3)
+    B, T, H, Hkv, D, S, length = 1, 2, 4, 2, 64, 256, 37
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    k_codes, k_s = quantize_kv(kf)
+    v_codes, v_s = quantize_kv(vf)
+    out = flash_decode_attention(
+        q, k_codes, v_codes, jnp.int32(length), k_s, v_s,
+        block_k=128, interpret=True,
+    )
+    ref = flash_decode_reference(
+        q,
+        dequantize_kv(k_codes, k_s, jnp.float32),
+        dequantize_kv(v_codes, v_s, jnp.float32),
+        jnp.int32(length),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
