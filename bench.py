@@ -75,11 +75,6 @@ def make_engine(cfg_t, t_params, cfg_d, d_params, *, gamma, max_tokens,
     )
 
 
-def measured_accept(engine, prompt) -> float:
-    _, m = engine.run("sd", prompt)
-    return m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
-
-
 def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag=""):
     """Log-space bisection on the residual scale where each probe IS the
     full final measurement — the reported run's accept rate is the
@@ -131,8 +126,6 @@ def int4_kernel_sol(cfg, tiny):
     (sub-eps perturbations round away in bf16 and CSE collapses the loop
     to one matmul) and a max-reduction carry (a sum-reduction lets XLA
     factor the matmul out of the loop entirely)."""
-    import functools as _ft
-
     from duodecoding_tpu.models.quant import quantize_int4
     from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
     from duodecoding_tpu.utils.profiler import PerformanceProfiler as Profiler

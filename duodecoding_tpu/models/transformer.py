@@ -202,6 +202,13 @@ def forward(
         and flash_block > 0
         and jax.default_backend() == "tpu"
         and os.environ.get("DUODEC_NO_FLASH") != "1"
+        # int8-flash: correct (unit + on-chip validated incl. inside plain
+        # while_loops, T in {1,2,5}) but the COMPOSITION of its pallas
+        # instances inside the engine's nested while/cond decode programs
+        # hits a pathological remote-compile path (>15 min); keep the
+        # fused dense-dequant route as the in-loop default and use the
+        # kernel for single-dispatch (serving) contexts
+        and (not quantized_kv or os.environ.get("DUODEC_INT8_FLASH") == "1")
     )
 
     def mm(x, w):

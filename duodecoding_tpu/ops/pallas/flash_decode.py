@@ -58,6 +58,7 @@ def _kernel(
     nj = pl.num_programs(1)
     Hkv = q_ref.shape[1]
     RT = q_ref.shape[2]
+    RTp = _rt_pad(RT)
 
     @pl.when(j == 0)
     def _init():
@@ -73,44 +74,49 @@ def _kernel(
         t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, block_k), 0) % T
         visible = k_pos <= length_ref[0] + t_row  # [RT, block_k] causal
 
-        # one batched dot over all heads (no per-head unroll — keeps the
-        # kernel IR small so Mosaic compiles fast at 40-head shapes)
-        q = q_ref[0].astype(jnp.float32)  # [Hkv, RT, D]
-        k = k_ref[0].astype(jnp.float32)  # [block_k, Hkv, D]
-        v = v_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [Hkv, RT, block_k]
-        if quant:
-            # int8 dequant folded into score columns (per-position-per-head
-            # scales, models/kv_quant.py)
-            s = s * ks_ref[0].T[:, None, :]
-        s = jnp.where(visible[None, :, :], s, NEG_INF)
+        # per-head loop: a batched-dim dot_general variant compiled faster
+        # standalone but hit a pathological (>9 min) Mosaic path inside
+        # lax.while_loop programs; the unrolled form compiles in seconds
+        # in both contexts
+        for h in range(Hkv):
+            q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
+            k = k_ref[0, :, h].astype(jnp.float32)  # [block_k, D]
+            v = v_ref[0, :, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [RT, block_k]
+            if quant:
+                # int8 dequant folded into the score columns
+                # (per-position-per-head scales, models/kv_quant.py)
+                s = s * ks_ref[0, :, h][None, :]
+            s = jnp.where(visible, s, NEG_INF)
 
-        m_prev = m_scr[:, :RT, :1]  # [Hkv, RT, 1]
-        l_prev = l_scr[:, :RT, :1]
-        m_cur = jnp.max(s, axis=2, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)  # [Hkv, RT, block_k]
-        l_next = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-        if quant:
-            p = p * vs_ref[0].T[:, None, :]  # fold V scales into probs
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (0,)), ((0,), (1,))),
-            preferred_element_type=jnp.float32,
-        )  # [Hkv, RT, D]
-        acc_scr[:, :RT, :] = acc_scr[:, :RT, :] * alpha + pv
-        m_scr[:, :RT, :] = jnp.broadcast_to(m_next, (Hkv, RT, m_scr.shape[2]))
-        l_scr[:, :RT, :] = jnp.broadcast_to(l_next, (Hkv, RT, l_scr.shape[2]))
+            a, b = h * RTp, h * RTp + RT
+            m_prev = m_scr[a:b, :1]  # [RT, 1]
+            l_prev = l_scr[a:b, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            if quant:
+                p = p * vs_ref[0, :, h][None, :]  # fold V scales into probs
+            acc_scr[a:b, :] = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[a:b, :] = jnp.broadcast_to(m_next, (RT, m_scr.shape[1]))
+            l_scr[a:b, :] = jnp.broadcast_to(l_next, (RT, l_scr.shape[1]))
 
     @pl.when(j == nj - 1)
     def _finalize():
-        l = l_scr[:, :RT, :1]
-        o_ref[0] = (
-            acc_scr[:, :RT, :] / jnp.maximum(l, 1e-30)
-        ).astype(o_ref.dtype)
+        for h in range(Hkv):
+            a, b = h * RTp, h * RTp + RT
+            l = l_scr[a:b, :1]
+            o_ref[0, h] = (
+                acc_scr[a:b, :] / jnp.maximum(l, 1e-30)
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -190,9 +196,9 @@ def flash_decode_attention(
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hkv, RT, D), q_map),
             scratch_shapes=[
-                pltpu.VMEM((Hkv, RTp, 128), jnp.float32),
-                pltpu.VMEM((Hkv, RTp, 128), jnp.float32),
-                pltpu.VMEM((Hkv, RTp, D), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),

@@ -193,7 +193,10 @@ def int4_matmul(
     if tile_n == 0:
         return int4_matmul_reference(x, q)
     if fused is None:
-        fused = os.environ.get("DUODEC_INT4_GROUPED") != "1"
+        # the per-group kernel is the default: the fused variant compiles
+        # fast standalone but participates in the pathological
+        # nested-while remote-compile path (see models/transformer.py)
+        fused = os.environ.get("DUODEC_INT4_FUSED") == "1"
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
