@@ -75,13 +75,16 @@ def make_engine(cfg_t, t_params, cfg_d, d_params, *, gamma, max_tokens,
     )
 
 
-def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag=""):
+def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag="",
+                             lo=1e-4, hi=0.5):
     """Log-space bisection on the residual scale where each probe IS the
     full final measurement — the reported run's accept rate is the
     calibrated one, with zero calibration-vs-measurement drift.
     ``measure(alpha) -> dict`` must contain an ``accept`` key (decreasing
-    in alpha). Returns the best measurement dict."""
-    lo, hi = 1e-4, 0.5
+    in alpha). Returns the best measurement dict. ``lo``/``hi`` may be
+    warm-started: the pair is seed-deterministic, so a previously found
+    bracket stays valid and saves remote-compile-bound iterations (the
+    reported accept is still measured, never assumed)."""
     best = None
     for it in range(iters):
         alpha = math.sqrt(lo * hi)
@@ -207,7 +210,10 @@ def part_a_13b(tiny):
         return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g}
 
     best = calibrate_on_measurement(
-        measure_sd, iters=3 if tiny else 8, tag=" A:"
+        measure_sd, iters=3 if tiny else 6, tag=" A:",
+        # warm bracket around the known-good region for seed 0 (alpha*
+        # ~5.6e-4 measured in round 2)
+        lo=1e-4 if tiny else 1.4e-4, hi=0.5 if tiny else 2.2e-3,
     )
     alpha = best["alpha"]
     log(f"[bench] A: calibrated alpha={alpha:.5f} accept={best['accept']:.3f} "
@@ -244,8 +250,8 @@ def part_a_13b(tiny):
     # same alpha (per-position draft quality fixed; the WINDOW accept rate
     # naturally shifts with gamma)
     runs = [best]
-    if not tiny:
-        for g in (8, 12):
+    if not tiny and os.environ.get("BENCH_GAMMA_SWEEP") == "1":
+        for g in (8,):
             runs.append(measure_sd(alpha, g=g))
             log(f"[bench] A: sd gamma={g}: {runs[-1]['tps']:.2f} tok/s "
                 f"accept={runs[-1]['accept']:.3f}")
@@ -331,7 +337,9 @@ def part_b_dssd(tiny):
         }
 
     best = calibrate_on_measurement(
-        measure_dssd, iters=3 if tiny else 8, tag=" B:"
+        measure_dssd, iters=3 if tiny else 6, tag=" B:",
+        # warm bracket (alpha* ~0.10 for seed 1, measured in round 2)
+        lo=1e-4 if tiny else 0.05, hi=0.5 if tiny else 0.2,
     )
     log(f"[bench] B: dssd {best['tps']:.2f} tok/s at accept "
         f"{best['accept']:.3f} (comm {best['comm_time']:.1f}s of "
@@ -346,6 +354,19 @@ def part_b_dssd(tiny):
 
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
+    # flash decode attention gains nothing at the bench's S=256 caches and
+    # multiplies the remote-compile time of the big nested decode programs;
+    # it stays validated standalone (tests + 16K-context on-chip runs)
+    os.environ.setdefault("DUODEC_NO_FLASH", "1")
+    # persistent compilation cache: the 13B nested decode programs cost
+    # minutes each on the remote compiler; cache them across runs
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_comp"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     if tiny:
         # CPU smoke variant (the sandbox force-registers the remote TPU
         # backend; only an explicit config update overrides it)

@@ -12,7 +12,11 @@ from duodecoding_tpu.engine.loops import prefill, sd_generate
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 
 TOKEN_BYTES = 8  # reference token tensors are torch.long (8 B/elem)
-PROB_BYTES = 4  # float32 probability payloads
+# Probability payloads are priced at the model dtype's element size, like
+# the reference's `prob.element_size()` (src/communication.py:413-414);
+# the reference loads every model in bfloat16 (src/engine.py:261), so its
+# prob rows are 2 B/elem.
+PROB_BYTES = 2
 INT_SIZE = 4  # reference src/metrics.py:3 (index/control scalars)
 
 
