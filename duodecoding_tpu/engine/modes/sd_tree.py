@@ -1,0 +1,96 @@
+"""`sd_tree` — k-chain tree speculative decoding (DuoDecoding k-sequence
+drafting, TPU-native).
+
+Reference parity: src/model_cpu.py:138-252 ``generate_k_seq`` — the
+original DuoDecoding CPU draft proposes k candidate sequences (k in
+{1,2,4,6,8}) that the target verifies together. Here the fork-at-root
+tree is drafted with the chains on the batch axis and verified in one
+tree-attention forward (engine/tree_loops.py). Greedy only; output is
+token-identical to ``large`` (losslessness contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
+from duodecoding_tpu.engine.modes.common import run_sd_loop  # noqa: F401 (doc xref)
+from duodecoding_tpu.engine.registry import register_mode
+from duodecoding_tpu.engine.tree_loops import ktree_generate
+
+
+@register_mode("sd_tree", aliases=("duodec", "sd_kseq"))
+def sd_tree(engine, prefix, tree_k: int = 2, **kw):
+    """k-chain tree SD. ``tree_k`` = fork width (draft top-k first tokens)."""
+    from duodecoding_tpu.engine.engine import Stopwatch, block
+    from duodecoding_tpu.engine.loops import prefill
+
+    cfg = engine.config
+    if cfg.temperature != 0.0:
+        raise NotImplementedError(
+            "sd_tree is greedy-only (the tree walk follows the target's "
+            "argmax path); use `sd` for temperature sampling"
+        )
+    draft, target = engine.draft, engine.target
+    tokens, L = engine.token_buffer(prefix)
+    gamma = kw.get("gamma") or cfg.gamma
+    k = int(tree_k)
+    if L < gamma + 2:
+        raise ValueError(
+            f"sd_tree needs prompt_len >= gamma + 2 (catch-up rewind); "
+            f"got {L} < {gamma + 2}"
+        )
+    eos = cfg.eos_ids if kw.get("use_early_stopping") else ()
+
+    d_cache = engine.new_cache(draft, batch=k)
+    t_cache = engine.new_cache(target)
+
+    with Stopwatch() as sw:
+        d_cache = prefill(
+            draft.params,
+            draft.cfg,
+            d_cache,
+            jnp.broadcast_to(tokens[:, :L], (k, L)),
+        )
+        t_cache = prefill(target.params, target.cfg, t_cache, tokens[:, :L])
+        out_tokens, n, records, iters, d_steps, t_steps = ktree_generate(
+            draft.params,
+            target.params,
+            tokens,
+            jnp.int32(L),
+            d_cache,
+            t_cache,
+            draft_cfg=draft.cfg,
+            target_cfg=target.cfg,
+            k=k,
+            gamma=gamma,
+            max_new_tokens=cfg.max_tokens,
+            eos_ids=eos,
+        )
+        block(out_tokens, n)
+
+    n, iters = int(n), int(iters)
+    out = np.asarray(out_tokens[:, :n])
+
+    m = get_empty_metrics()
+    m["generated_tokens"] = n - L
+    m["draft_forward_times"] = int(d_steps)
+    m["target_forward_times"] = int(t_steps)
+    # per-lane accounting: gamma drafted per iteration (each of the k lanes
+    # reuses the same weight-bound forwards), accepted = winning-chain run
+    m["draft_generated_tokens"] = int(records.actual_gamma[:iters].sum())
+    m["draft_accepted_tokens"] = int(records.accepted[:iters].sum())
+    m["loop_times"] = iters
+    if iters:
+        m["each_loop_draft_tokens"] = float(records.actual_gamma[:iters].mean())
+        m["avg_draft_len"] = float(records.actual_gamma[:iters].mean())
+    m["queuing_time"] = int(t_steps) * cfg.batch_delay
+    m["computation_time"] = sw.elapsed
+    m["draft_entropy_history"] = [float(x) for x in records.draft_entropy[:iters]]
+    m["draft_accept_rate_history"] = [
+        float(x) for x in records.accept_rate[:iters]
+    ]
+    m["wall_time"] = sw.elapsed + m["queuing_time"]
+    return out, finalize_throughput(m)
