@@ -200,14 +200,15 @@ def part_a_13b(tiny):
     rng = np.random.default_rng(0)
     prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
 
-    def measure_sd(alpha, g=gamma):
+    def measure_sd(alpha, g=gamma, mode="sd", **mode_kw):
         tp = scale_residual(qparams, alpha)
         dcfg, dp = truncate_model(cfg, tp, k_draft)
         eng = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
                           max_seq_len=S, int8_kv=int8_kv)
-        eng.run("sd", prompts[0][None, :])  # warmup (compiles cached)
-        tps, acc = run_prompts(eng, "sd", prompts[1:])
-        return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g}
+        eng.run(mode, prompts[0][None, :], **mode_kw)  # warmup (compiles cached)
+        tps, acc = run_prompts(eng, mode, prompts[1:], **mode_kw)
+        return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
+                "mode": mode, **mode_kw}
 
     best = calibrate_on_measurement(
         measure_sd, iters=3 if tiny else 6, tag=" A:",
@@ -246,10 +247,18 @@ def part_a_13b(tiny):
     log(f"[bench] A: AR speed-of-light {sol_tps:.1f} tok/s -> "
         f"{100*results['ar_sol_frac']:.0f}% of roof")
 
-    # calibrated-gamma run already measured; probe a second gamma at the
-    # same alpha (per-position draft quality fixed; the WINDOW accept rate
-    # naturally shifts with gamma)
+    # calibrated-gamma run already measured; at the SAME calibrated pair,
+    # also measure the k-chain tree mode (DuoDecoding k-sequence drafting:
+    # same gamma drafting cost, the fork hedges the first position) and
+    # optionally a second gamma
     runs = [best]
+    tree_ks = (3,) if tiny else (2,)
+    if os.environ.get("BENCH_TREE_K3") == "1":
+        tree_ks = tree_ks + (3,)
+    for tk in tree_ks:
+        runs.append(measure_sd(alpha, mode="sd_tree", tree_k=tk))
+        log(f"[bench] A: sd_tree k={tk}: {runs[-1]['tps']:.2f} tok/s "
+            f"accept={runs[-1]['accept']:.3f}")
     if not tiny and os.environ.get("BENCH_GAMMA_SWEEP") == "1":
         for g in (8,):
             runs.append(measure_sd(alpha, g=g))
@@ -259,6 +268,10 @@ def part_a_13b(tiny):
     results["sd_tps"] = top["tps"]
     results["sd_gamma"] = top["gamma"]
     results["sd_accept"] = top["accept"]
+    results["sd_mode"] = top["mode"] + (
+        f" k={top['tree_k']}" if "tree_k" in top else ""
+    )
+    results["sd_chain_tps"] = best["tps"]
     results["sd_runs"] = [
         {k: v for k, v in r.items()} for r in runs
     ]
@@ -389,7 +402,7 @@ def main():
             "metric": (
                 "13B-class SD speedup vs own AR on 1 chip "
                 f"(llama-2-13b arch INT4+INT8KV, accept-matched "
-                f"{TARGET_ACCEPT}, gamma={a['sd_gamma']}; "
+                f"{TARGET_ACCEPT}, {a['sd_mode']} gamma={a['sd_gamma']}; "
                 f"AR {a['ar_tps']:.1f} tok/s at "
                 f"{100*a['ar_sol_frac']:.0f}% of HBM roof, "
                 f"SD {a['sd_tps']:.1f} tok/s; goal >= {SPEEDUP_GOAL}x)"

@@ -211,28 +211,48 @@ def forward(
         and (not quantized_kv or os.environ.get("DUODEC_INT8_FLASH") == "1")
     )
 
-    def mm(x, w):
+    # INT4-quantized weights (dicts of stacked [L, ...] leaves) are NOT fed
+    # through scan xs: a pallas call cannot consume a scan-sliced operand
+    # without XLA materialising the slice (a full per-layer weight copy in
+    # HBM per step — measured 2.3x the kernel time at 13B shapes). They stay
+    # whole, and the kernel indexes layer blocks via a scalar-prefetched
+    # layer index (ops/pallas/int4_matmul.py::_int4_matmul_2d_stacked).
+    # Array leaves (norms, biases) and the KV cache still scan as xs — XLA
+    # fuses those slices for free.
+    all_layers = params["layers"]
+    q_names = tuple(k for k, v in all_layers.items() if isinstance(v, dict))
+    arr_layers = {k: v for k, v in all_layers.items() if k not in q_names}
+
+    def mm(x, w, idx=None):
         """Dense or INT4-groupwise matmul (models/quant.py dicts dispatch to
-        the fused Pallas dequant+matmul kernel)."""
+        the fused Pallas dequant+matmul kernel; with ``idx`` the dict's
+        leaves are layer-stacked and read zero-copy)."""
         if isinstance(w, dict):
             from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
 
-            return int4_matmul(x, w).astype(x.dtype)
+            return int4_matmul(x, w, layer=idx).astype(x.dtype)
         return x @ w
 
     def layer_fn(h, xs):
         if quantized_kv:
-            lp, k_cache, v_cache, k_sc, v_sc = xs
+            idx, lp, k_cache, v_cache, k_sc, v_sc = xs
         else:
-            lp, k_cache, v_cache = xs
-        x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
-        q = mm(x, lp["wq"])
-        k = mm(x, lp["wk"])
-        v = mm(x, lp["wv"])
+            idx, lp, k_cache, v_cache = xs
+
+        def w(name):
+            return lp[name] if name in lp else all_layers[name]
+
+        def wmm(x, name):
+            return mm(x, w(name), idx if name in q_names else None)
+
+        x = _rms_norm(h, w("attn_norm"), cfg.rms_norm_eps)
+        q = wmm(x, "wq")
+        k = wmm(x, "wk")
+        v = wmm(x, "wv")
         if cfg.qkv_bias:
-            q = q + lp["bq"]
-            k = k + lp["bk"]
-            v = v + lp["bv"]
+            q = q + w("bq")
+            k = k + w("bk")
+            v = v + w("bv")
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim_)
         k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
         v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
@@ -241,12 +261,12 @@ def forward(
 
         def finish(ctx, h):
             ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
-            h = h + mm(ctx, lp["wo"])
-            x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
-            gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(
+            h = h + wmm(ctx, "wo")
+            x = _rms_norm(h, w("mlp_norm"), cfg.rms_norm_eps)
+            gate = jax.nn.silu(wmm(x, "w_gate").astype(jnp.float32)).astype(
                 x.dtype
             )
-            return h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
+            return h + wmm(gate * wmm(x, "w_up"), "w_down")
 
         if quantized_kv:
             k_codes, k_s = quantize_kv(k)
@@ -303,15 +323,16 @@ def forward(
             return h, (k_cache, v_cache, k_sc, v_sc)
         return h, (k_cache, v_cache)
 
+    idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if quantized_kv:
-        xs = (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (idxs, arr_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
         h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(layer_fn, h, xs)
         new_cache = QuantKVCache(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
         )
     else:
         h, (new_k, new_v) = jax.lax.scan(
-            layer_fn, h, (params["layers"], cache.k, cache.v)
+            layer_fn, h, (idxs, arr_layers, cache.k, cache.v)
         )
         new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)

@@ -105,3 +105,30 @@ def test_int4_forward_end_to_end_close_to_dense():
     qv = np.asarray(q_logits).ravel()
     corr = np.corrcoef(d, qv)[0, 1]
     assert corr > 0.95
+
+
+def test_stacked_layer_indexed_kernel_matches_reference():
+    """The zero-copy stacked kernel (scalar-prefetched layer index) must
+    match slicing the layer out and running the reference impl."""
+    from duodecoding_tpu.models.quant import int4_matmul_reference
+    from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+
+    L, K, N, gs = 3, 64, 256, 16
+    key = jax.random.PRNGKey(0)
+    packed = jax.random.randint(key, (L, K // 2, N), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    scales = jax.random.uniform(key, (L, K // gs, N), jnp.float32, 0.01, 0.1)
+    zeros = -7.5 * scales
+    qs = {"packed": packed, "scales": scales, "zeros": zeros}
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, K), jnp.float32)
+
+    for layer in range(L):
+        want = int4_matmul_reference(
+            x, {k: v[layer] for k, v in qs.items()}
+        )
+        got = int4_matmul(
+            x, qs, layer=jnp.int32(layer), interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

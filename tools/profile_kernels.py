@@ -169,6 +169,50 @@ def profile_mlp(M=8, K=5120, N=13824, group=128, only_streamed=False):
         lambda x, w: int4_matmul(x, w, fused=False), qs, x0, "int4 pg streamed"
     )
     add("int4 pg streamed", t, int4_bytes)
+
+    # layer-indexed stacked kernel: the scan passes an INDEX, the kernel
+    # reads the layer's blocks straight from the whole stacked buffer
+    def stacked_per_rep(label):
+        def make(outer):
+            @jax.jit
+            def run(x, ws):
+                def outer_step(carry, j):
+                    def inner_step(c, i):
+                        out = int4_matmul(
+                            x + (i + j).astype(x.dtype), ws, layer=i
+                        )
+                        return (
+                            jnp.maximum(c, jnp.max(out).astype(jnp.float32)),
+                            None,
+                        )
+
+                    c, _ = jax.lax.scan(inner_step, carry, jnp.arange(NW))
+                    return c, None
+
+                s, _ = jax.lax.scan(
+                    outer_step, jnp.float32(-1e30), jnp.arange(outer)
+                )
+                return s
+
+            return run
+
+        outs = {}
+        for outer in (16, 64):
+            run = make(outer)
+            t0 = time.perf_counter()
+            float(run(x0, qs))
+            compile_s = time.perf_counter() - t0
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(x0, qs))
+                best = min(best, time.perf_counter() - t0)
+            outs[outer] = best
+            print(f"  [{label}] outer={outer}: compile {compile_s:.1f}s, "
+                  f"best {best*1e3:.2f}ms", file=sys.stderr, flush=True)
+        return (outs[64] - outs[16]) / ((64 - 16) * NW)
+
+    add("int4 stacked idx", stacked_per_rep("int4 stacked idx"), int4_bytes)
     wbs = jnp.stack([wb] * NW)
     t = streamed_per_rep(
         lambda x, w: jnp.dot(x, w, preferred_element_type=jnp.float32),
