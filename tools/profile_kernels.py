@@ -276,6 +276,68 @@ def profile_step():
           f"(SoL {sol*1e3:.2f} ms -> {sol/per:.1%} of roof)")
 
 
+def profile_sd_parts():
+    """Decompose the SD iteration: draft-slice T=1 step, draft T=2
+    catch-up, target verify T=5 step — each in a scan, difference-timed."""
+    from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.kv_quant import init_quant_cache
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, truncate_model,
+    )
+    from duodecoding_tpu.models.transformer import (
+        forward, init_cache, set_cache_length,
+    )
+
+    cfg = resolve_config("llama-2-13b")
+    S = 256
+    params = init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    jax.block_until_ready(params["embed"])
+    dcfg, dparams = truncate_model(cfg, params, 3)
+
+    def step_time(pp, cc, cache0, T, label, B=1):
+        for r in (4, 16):
+            @jax.jit
+            def run(pp, cache):
+                def step(carry, i):
+                    tok, cache = carry
+                    logits, cache = forward(
+                        pp, cc, tok, set_cache_length(cache, 64 + (i % 8)))
+                    nxt = jnp.argmax(
+                        logits[:, -1:, :], axis=-1).astype(jnp.int32)
+                    return (jnp.broadcast_to(nxt, (B, T)), cache), None
+
+                (tok, cache), _ = jax.lax.scan(
+                    step, (jnp.ones((B, T), jnp.int32), cache),
+                    jnp.arange(r))
+                return tok
+
+            t0 = time.perf_counter()
+            float(run(pp, cache0)[0, 0])
+            c = time.perf_counter() - t0
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(pp, cache0)[0, 0])
+                best = min(best, time.perf_counter() - t0)
+            print(f"  [{label}] R={r}: compile {c:.1f}s best {best*1e3:.2f}ms",
+                  file=sys.stderr, flush=True)
+            if r == 4:
+                lo = best
+            else:
+                hi = best
+        per = (hi - lo) / 12
+        print(f"{label}: {per*1e3:.2f} ms/step")
+        return per
+
+    d_cache = init_cache(dcfg, 1, S)
+    step_time(dparams, dcfg, d_cache, 1, "draft T=1")
+    step_time(dparams, dcfg, d_cache, 2, "draft T=2 catchup")
+    d_cache2 = init_cache(dcfg, 2, S)
+    step_time(dparams, dcfg, d_cache2, 1, "draft T=1 B=2", B=2)
+    t_cache = init_quant_cache(cfg, 1, S)
+    step_time(params, cfg, t_cache, 5, "verify T=5 int8kv")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "mlp"
     if which in ("mlp", "all"):
@@ -285,3 +347,5 @@ if __name__ == "__main__":
         profile_mlp(M=8, only_streamed=True)
     if which in ("step", "all"):
         profile_step()
+    if which == "sd_parts":
+        profile_sd_parts()
