@@ -77,35 +77,61 @@ def _stops_hit(tokens, start, count, eos_ids, max_scan: int):
 # --------------------------------------------------------------------------
 
 
-def prefill_chunk_sizes(length: int, max_chunk: int = 512) -> list[int]:
-    """Binary decomposition of ``length`` into power-of-two chunks so that
-    prompts of any length reuse at most log2 compiled prefill programs."""
+def prefill_chunk_sizes(
+    length: int, max_chunk: int = 512, cap: int | None = None
+) -> list[int]:
+    """Chunk plan for a prompt: full ``max_chunk`` chunks plus ONE
+    power-of-two-padded tail. Each chunk is a full weight-stream over the
+    model, so fewer chunks beat tighter chunks: the old binary
+    decomposition ([32,16,8,4,2,1] for 63) streamed the weights log2(n)
+    times per prompt (~84 ms each at 13B) where one padded forward
+    suffices. The padded tail positions write garbage KV rows beyond the
+    prompt; the caller clamps the cache length back (pure bookkeeping).
+    ``cap`` (cache capacity) bounds the total written span — when the
+    padded tail would overrun it, the tail falls back to binary chunks."""
     sizes = []
-    c = max_chunk
     rem = length
-    while c >= 1:
-        while rem >= c:
-            sizes.append(c)
-            rem -= c
-        c //= 2
+    while rem >= max_chunk:
+        sizes.append(max_chunk)
+        rem -= max_chunk
+    if rem:
+        tail = max(8, 1 << (rem - 1).bit_length())
+        if cap is None or (length - rem) + tail <= cap:
+            sizes.append(tail)
+        else:  # binary decomposition of the remainder (no padding)
+            c = max_chunk // 2
+            while c >= 1:
+                while rem >= c:
+                    sizes.append(c)
+                    rem -= c
+                c //= 2
     return sizes
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def prefill_step(params, cfg: ModelConfig, cache: KVCache, tokens: jax.Array):
-    """Advance the cache over ``tokens`` (one power-of-two chunk)."""
+    """Advance the cache over ``tokens`` (one chunk)."""
     _, cache = forward(params, cfg, tokens, cache)
     return cache
 
 
 def prefill(params, cfg: ModelConfig, cache: KVCache, prompt: jax.Array):
-    """Process ``prompt[:, :-1]`` into the cache (lag-1 invariant)."""
+    """Process ``prompt[:, :-1]`` into the cache (lag-1 invariant).
+
+    The final chunk is right-padded to a power of two: pad positions
+    attend causally (their outputs are discarded) and their KV rows land
+    beyond the clamped final cache length, where the next forward
+    overwrites or ignores them — the same staleness contract as rollback
+    (see module docstring)."""
     n = prompt.shape[1] - 1
     off = 0
-    for c in prefill_chunk_sizes(n):
-        cache = prefill_step(params, cfg, cache, prompt[:, off : off + c])
+    for c in prefill_chunk_sizes(n, cap=cache.max_len):
+        chunk = prompt[:, off : off + c]
+        if chunk.shape[1] < c:  # padded tail
+            chunk = jnp.pad(chunk, ((0, 0), (0, c - chunk.shape[1])))
+        cache = prefill_step(params, cfg, cache, chunk)
         off += c
-    return cache
+    return set_cache_length(cache, jnp.int32(n))
 
 
 # --------------------------------------------------------------------------

@@ -53,12 +53,17 @@ def prefill_with_hidden(params, cfg, cache, prompt: jax.Array):
     n = prompt.shape[1] - 1
     off = 0
     hiddens = []
-    for c in prefill_chunk_sizes(n):
-        cache, hid = _prefill_hidden_step(
-            params, cfg, cache, prompt[:, off : off + c]
-        )
-        hiddens.append(np.asarray(hid[0], np.float32))
+    for c in prefill_chunk_sizes(n, cap=cache.max_len):
+        chunk = prompt[:, off : off + c]
+        if chunk.shape[1] < c:  # padded tail (see loops.prefill)
+            chunk = jnp.pad(chunk, ((0, 0), (0, c - chunk.shape[1])))
+        cache, hid = _prefill_hidden_step(params, cfg, cache, chunk)
+        real = min(c, n - off)
+        hiddens.append(np.asarray(hid[0][:real], np.float32))
         off += c
+    from duodecoding_tpu.models.transformer import set_cache_length
+
+    cache = set_cache_length(cache, jnp.int32(n))
     return cache, np.concatenate(hiddens, axis=0) if hiddens else np.zeros(
         (0, cfg.hidden_size), np.float32
     )

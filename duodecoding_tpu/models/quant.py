@@ -86,11 +86,16 @@ def is_quantized(p: Any) -> bool:
     return isinstance(p, dict) and "packed" in p and "scales" in p
 
 
-def quantize_params(params: dict, group_size: int = 128) -> dict:
+def quantize_params(
+    params: dict, group_size: int = 128, quantize_head: bool = True
+) -> dict:
     """Quantize the per-layer matmul weights of a transformer param pytree.
 
     Stacked [L, K, N] weights keep the layer axis; norms, biases and
-    embeddings stay in their original dtype.
+    embeddings stay in their original dtype. An untied ``lm_head`` is
+    quantized too by default (like the reference's GGUF drafts, which
+    quantize the output projection; a bf16 head would otherwise be ~40%
+    of a small sliced draft's per-forward bytes).
     """
     out = dict(params)
     layers = dict(params["layers"])
@@ -98,6 +103,8 @@ def quantize_params(params: dict, group_size: int = 128) -> dict:
         if k in layers:
             layers[k] = quantize_int4(layers[k], group_size)
     out["layers"] = layers
+    if quantize_head and "lm_head" in params:
+        out["lm_head"] = quantize_int4(params["lm_head"], group_size)
     return out
 
 

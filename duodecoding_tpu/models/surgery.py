@@ -128,7 +128,13 @@ def _init_random_quant_jit(cfg: ModelConfig, group_size: int, dtype_name: str, k
         "layers": layers,
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = norm(ks[8], d, v)
+        # INT4 head as well (GGUF drafts quantize the output projection;
+        # a bf16 13B head alone is 327 MB of per-step HBM traffic)
+        if v % 256 == 0 and d % group_size == 0 and d % 2 == 0:
+            q = qrand(ks[8], d, v)
+            params["lm_head"] = jax.tree.map(lambda a: a[0], q)
+        else:
+            params["lm_head"] = norm(ks[8], d, v)
     return params
 
 

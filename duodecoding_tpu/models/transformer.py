@@ -337,7 +337,12 @@ def forward(
         new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
+    if isinstance(head, dict):  # INT4 lm_head (unstacked — no scan slicing)
+        from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+
+        logits = int4_matmul(h, head)  # f32
+    else:
+        logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
     if return_hidden:
         return logits, new_cache, h
     return logits, new_cache
