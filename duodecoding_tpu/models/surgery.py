@@ -88,19 +88,20 @@ def _init_random_quant_jit(cfg: ModelConfig, group_size: int, dtype_name: str, k
     hd, h, hkv, L = cfg.head_dim_, cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
     ks = jax.random.split(key, 12)
 
-    def qrand(k, K, N):
+    def qrand(k, K, N, lead=None):
         # uniform nibbles 0..15; affine (scale, zero) per (group, col) such
         # that dequantized values ~ U[-a, a] with std = K^-0.5
         # (std of U[-a,a] = a/sqrt(3); uniform 16 levels over [0,15] has
         # std sqrt((16^2-1)/12) = 4.61 in code units)
+        lead = (L,) if lead is None else lead
         target_std = K**-0.5
         step = target_std / jnp.sqrt((16.0**2 - 1) / 12.0)
-        packed = jax.random.randint(k, (L, K // 2, N), 0, 256, jnp.int32).astype(
-            jnp.uint8
-        )
+        packed = jax.random.randint(
+            k, (*lead, K // 2, N), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
         G = K // group_size
-        scales = jnp.full((L, G, N), step, jnp.float32)
-        zeros = jnp.full((L, G, N), -7.5 * step, jnp.float32)
+        scales = jnp.full((*lead, G, N), step, jnp.float32)
+        zeros = jnp.full((*lead, G, N), -7.5 * step, jnp.float32)
         return {"packed": packed, "scales": scales, "zeros": zeros}
 
     def norm(k, *shape, scale=None):
@@ -131,8 +132,7 @@ def _init_random_quant_jit(cfg: ModelConfig, group_size: int, dtype_name: str, k
         # INT4 head as well (GGUF drafts quantize the output projection;
         # a bf16 13B head alone is 327 MB of per-step HBM traffic)
         if v % 256 == 0 and d % group_size == 0 and d % 2 == 0:
-            q = qrand(ks[8], d, v)
-            params["lm_head"] = jax.tree.map(lambda a: a[0], q)
+            params["lm_head"] = qrand(ks[8], d, v, lead=())
         else:
             params["lm_head"] = norm(ks[8], d, v)
     return params
