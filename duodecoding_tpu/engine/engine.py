@@ -147,6 +147,14 @@ class Stopwatch:
 
 
 def block(*arrays):
-    """Block until device arrays are ready (timing boundary)."""
+    """Block until device arrays are ready (timing boundary).
+
+    ``block_until_ready`` has been observed to return EARLY for
+    device-resident while-loop programs on the remote TPU backend (it made
+    one mode's benchmark wall undercount by ~2x), so the barrier is a real
+    host transfer of the last array — all outputs of an XLA executable
+    materialise together, so fetching one waits for the whole program."""
     for a in arrays:
         jax.block_until_ready(a)
+    if arrays:
+        jax.device_get(arrays[-1])

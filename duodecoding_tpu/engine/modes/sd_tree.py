@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
@@ -73,6 +74,10 @@ def sd_tree(engine, prefix, tree_k: int = 2, **kw):
 
     n, iters = int(n), int(iters)
     out = np.asarray(out_tokens[:, :n])
+    # ONE host transfer for all records: iterating a device array fetches
+    # per-element (~27 ms/element round-trips on the remote backend — this
+    # exact bug made the mode look 3x slower than it is)
+    records = jax.device_get(records)
 
     m = get_empty_metrics()
     m["generated_tokens"] = n - L

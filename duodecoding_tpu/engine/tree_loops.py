@@ -31,6 +31,7 @@ computed in any lane).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -116,15 +117,20 @@ def ktree_iteration(
     CU = gamma + 2
 
     # --- draft: catch-up (re-sync all lanes), fork, greedy chains --------
-    d_cache = set_cache_length(
-        s.draft_cache, jnp.minimum(s.draft_cache.length, n - CU)
-    )
-    catch = jax.lax.dynamic_slice(s.tokens, (0, n - CU), (1, CU))
-    catch_k = jnp.broadcast_to(catch, (k, CU))
-    logits, d_cache = forward(draft_params, draft_cfg, catch_k, d_cache)
-    q0 = logits[0, -1, :verify_vocab]  # lanes identical after catch-up
-    _, fork = jax.lax.top_k(q0, k)  # [k] distinct first tokens
-    chain0 = fork.astype(jnp.int32)
+    if "nocatchup" in os.environ.get("DUODEC_TREE_PROBE", ""):
+        d_cache = s.draft_cache
+        logits = jnp.zeros((k, 1, draft_cfg.vocab_size), jnp.float32)
+        chain0 = (jnp.arange(k, dtype=jnp.int32) + 5) * (n % 7 + 1)
+    else:
+        d_cache = set_cache_length(
+            s.draft_cache, jnp.minimum(s.draft_cache.length, n - CU)
+        )
+        catch = jax.lax.dynamic_slice(s.tokens, (0, n - CU), (1, CU))
+        catch_k = jnp.broadcast_to(catch, (k, CU))
+        logits, d_cache = forward(draft_params, draft_cfg, catch_k, d_cache)
+        q0 = logits[0, -1, :verify_vocab]  # lanes identical after catch-up
+        _, fork = jax.lax.top_k(q0, k)  # [k] distinct first tokens
+        chain0 = fork.astype(jnp.int32)
 
     def draft_step(carry, _):
         last, d_cache = carry
@@ -132,23 +138,36 @@ def ktree_iteration(
         nxt = jnp.argmax(lg[:, -1, :verify_vocab], axis=-1).astype(jnp.int32)
         return (nxt, d_cache), nxt
 
-    (_, d_cache), rest = jax.lax.scan(
-        draft_step, (chain0, d_cache), None, length=gamma - 1
-    )
-    chains = jnp.concatenate([chain0[:, None], rest.T], axis=1)  # [k, gamma]
+    if "nodraft" in os.environ.get("DUODEC_TREE_PROBE", ""):
+        chains = jnp.broadcast_to(chain0[:, None], (k, gamma))
+    else:
+        (_, d_cache), rest = jax.lax.scan(
+            draft_step, (chain0, d_cache), None, length=gamma - 1
+        )
+        chains = jnp.concatenate([chain0[:, None], rest.T], axis=1)  # [k, gamma]
 
     # --- verify: one tree-attention forward ------------------------------
+    probe = os.environ.get("DUODEC_TREE_PROBE", "")  # perf-bisect diagnostics
     offsets_np, mask_np = tree_layout(k, gamma)
     last_tok = jax.lax.dynamic_slice(s.tokens, (0, n - 1), (1, 1))[0]
     ver_in = jnp.concatenate([last_tok, chains.reshape(-1)])[None, :]
-    t_logits, t_cache = forward(
-        target_params,
-        target_cfg,
-        ver_in,
-        s.target_cache,
-        position_offsets=jnp.asarray(offsets_np),
-        window_mask=jnp.asarray(mask_np),
-    )
+    if "noverify" in probe:
+        t_cache = s.target_cache
+        t_logits = (
+            jnp.zeros((1, 1 + k * gamma, target_cfg.vocab_size), jnp.float32)
+            .at[:, :, 7].set(ver_in.astype(jnp.float32))
+        )
+    else:
+        t_logits, t_cache = forward(
+            target_params,
+            target_cfg,
+            ver_in,
+            s.target_cache,
+            position_offsets=(
+                None if "plaincausal" in probe else jnp.asarray(offsets_np)
+            ),
+            window_mask=None if "plaincausal" in probe else jnp.asarray(mask_np),
+        )
     preds = jnp.argmax(t_logits[0, :, :verify_vocab], axis=-1).astype(
         jnp.int32
     )  # [T]
@@ -179,7 +198,10 @@ def ktree_iteration(
     # start+1+w*gamma...; move them to linear positions start+1... then
     # restore the lag-1 invariant (length = n_new - 1).
     start = n - 1
-    t_cache = _relocate_rows(t_cache, start + 1 + w * gamma, start + 1, gamma)
+    if "norelocate" not in probe:
+        t_cache = _relocate_rows(
+            t_cache, start + 1 + w * gamma, start + 1, gamma
+        )
     t_cache = set_cache_length(t_cache, n_new - 1)
     # draft lanes are rewound and re-synced next iteration; only the length
     # bookkeeping matters (it must stay >= n_new - CU, which holds: lanes

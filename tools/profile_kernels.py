@@ -337,6 +337,115 @@ def profile_sd_parts():
     t_cache = init_quant_cache(cfg, 1, S)
     step_time(params, cfg, t_cache, 5, "verify T=5 int8kv")
 
+    # tree-mask verify (dense path, window_mask + position_offsets)
+    from duodecoding_tpu.engine.tree_loops import tree_layout
+    offs, msk = tree_layout(3, 4)
+    T = len(offs)
+
+    for r in (4, 16):
+        @jax.jit
+        def run_tree(pp, cache):
+            def step(carry, i):
+                tok, cache = carry
+                logits, cache = forward(
+                    pp, cfg, tok, set_cache_length(cache, 64 + (i % 8)),
+                    position_offsets=jnp.asarray(offs),
+                    window_mask=jnp.asarray(msk),
+                )
+                nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+                return (jnp.broadcast_to(nxt, (1, T)), cache), None
+
+            (tok, cache), _ = jax.lax.scan(
+                step, (jnp.ones((1, T), jnp.int32), cache), jnp.arange(r))
+            return tok
+
+        t0 = time.perf_counter()
+        float(run_tree(params, t_cache)[0, 0])
+        c = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_tree(params, t_cache)[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        print(f"  [tree verify T={T}] R={r}: compile {c:.1f}s best "
+              f"{best*1e3:.2f}ms", file=sys.stderr, flush=True)
+        if r == 4:
+            lo = best
+        else:
+            hi = best
+    print(f"tree verify T={T} int8kv: {(hi-lo)/12*1e3:.2f} ms/step")
+
+    # top_k fork + relocate micro-costs (suspects for the tree gap)
+    from duodecoding_tpu.engine.tree_loops import _relocate_rows
+
+    for name, fn, args in (
+        (
+            "top_k(32000, 3)",
+            lambda q0, i: jax.lax.top_k(q0 + i.astype(q0.dtype), 3)[1],
+            (jax.random.normal(jax.random.PRNGKey(0), (32000,), jnp.float32),),
+        ),
+        (
+            "argmax fork x3",
+            lambda q0, i: _argmax_fork(q0 + i.astype(q0.dtype), 3),
+            (jax.random.normal(jax.random.PRNGKey(0), (32000,), jnp.float32),),
+        ),
+    ):
+        for r in (16, 128):
+            @jax.jit
+            def run_m(x):
+                def step(c, i):
+                    out = fn(x, i)
+                    return jnp.maximum(c, jnp.max(out).astype(jnp.float32)), None
+
+                s, _ = jax.lax.scan(step, jnp.float32(-1e30), jnp.arange(r))
+                return s
+
+            float(run_m(*args))
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run_m(*args))
+                best = min(best, time.perf_counter() - t0)
+            if r == 16:
+                lo = best
+            else:
+                hi = best
+        print(f"{name}: {(hi-lo)/112*1e3:.3f} ms/call")
+
+    cache0 = init_quant_cache(cfg, 1, S)
+    for r in (16, 128):
+        @jax.jit
+        def run_rel(cache):
+            def step(carry, i):
+                cache = carry
+                cache = _relocate_rows(cache, 100 + (i % 8), 90, 4)
+                return cache, None
+
+            cache, _ = jax.lax.scan(step, cache, jnp.arange(r))
+            return cache.k
+
+        float(run_rel(cache0)[0, 0, 0, 0, 0])
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_rel(cache0)[0, 0, 0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        if r == 16:
+            lo = best
+        else:
+            hi = best
+    print(f"relocate int8 cache (4 rows): {(hi-lo)/112*1e3:.3f} ms/call")
+
+
+def _argmax_fork(q0, k):
+    idxs = []
+    q = q0
+    for _ in range(k):
+        i = jnp.argmax(q)
+        idxs.append(i)
+        q = q.at[i].set(-jnp.inf)
+    return jnp.stack(idxs)
+
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "mlp"
