@@ -43,7 +43,9 @@ import jax.numpy as jnp
 TARGET_ACCEPT = 0.562  # BASELINE.md row 1 measured target-accept
 SPEEDUP_GOAL = 2.5  # BASELINE.json north star vs own AR at 13B
 DSSD_BASELINE_TPS = 17.07  # BASELINE.md row 1 (dist_split_spec 0.5B->1.8B)
-MAX_NEW_TOKENS = 128
+MAX_NEW_TOKENS = 256  # part A generation length (amortizes prefill/dispatch
+# like the reference's MT-Bench regime; part B keeps the row's 128)
+MAX_NEW_TOKENS_B = 128
 PROMPT_LEN = 64
 
 
@@ -198,7 +200,7 @@ def part_a_13b(tiny):
     gamma = 3 if tiny else 4
     max_new = 16 if tiny else MAX_NEW_TOKENS
     plen = 16 if tiny else PROMPT_LEN
-    S = 64 if tiny else 256
+    S = 64 if tiny else 512
     n_prompts = 1 if tiny else 3
     int8_kv = not tiny
 
@@ -266,9 +268,9 @@ def part_a_13b(tiny):
     # same gamma drafting cost, the fork hedges the first position) and
     # optionally a second gamma
     runs = [best]
-    tree_ks = (3,) if tiny else (2,)
-    if os.environ.get("BENCH_TREE_K3") == "1":
-        tree_ks = tree_ks + (3,)
+    tree_ks = (3,)
+    if os.environ.get("BENCH_TREE_SWEEP") == "1":
+        tree_ks = (2, 3, 4)
     for tk in tree_ks:
         runs.append(measure_sd(alpha, mode="sd_tree", tree_k=tk))
         log(f"[bench] A: sd_tree k={tk}: {runs[-1]['tps']:.2f} tok/s "
@@ -316,7 +318,7 @@ def part_b_dssd(tiny):
     cfg = resolve_config(name)
     k_draft = 1 if tiny else 7
     gamma = 3 if tiny else 4
-    max_new = 16 if tiny else MAX_NEW_TOKENS
+    max_new = 16 if tiny else MAX_NEW_TOKENS_B
     plen = 16 if tiny else PROMPT_LEN
     S = 64 if tiny else 512
     n_prompts = 1 if tiny else 4

@@ -104,7 +104,11 @@ def quantize_params(
             layers[k] = quantize_int4(layers[k], group_size)
     out["layers"] = layers
     if quantize_head and "lm_head" in params:
-        out["lm_head"] = quantize_int4(params["lm_head"], group_size)
+        w = params["lm_head"]
+        pad = (-w.shape[-1]) % 512  # full kernel tiles (forward re-slices)
+        if pad:
+            w = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, pad)))
+        out["lm_head"] = quantize_int4(w, group_size)
     return out
 
 

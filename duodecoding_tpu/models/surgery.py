@@ -130,9 +130,13 @@ def _init_random_quant_jit(cfg: ModelConfig, group_size: int, dtype_name: str, k
     }
     if not cfg.tie_word_embeddings:
         # INT4 head as well (GGUF drafts quantize the output projection;
-        # a bf16 13B head alone is 327 MB of per-step HBM traffic)
-        if v % 256 == 0 and d % group_size == 0 and d % 2 == 0:
-            params["lm_head"] = qrand(ks[8], d, v, lead=())
+        # a bf16 13B head alone is 327 MB of per-step HBM traffic). The
+        # column count pads up to a 512 multiple so the kernel gets full
+        # tiles (N=32000 only tiles at 256 — measured 2.5x its SoL);
+        # forward slices logits back to vocab_size.
+        if d % group_size == 0 and d % 2 == 0:
+            vp = ((v + 511) // 512) * 512
+            params["lm_head"] = qrand(ks[8], d, vp, lead=())
         else:
             params["lm_head"] = norm(ks[8], d, v)
     return params

@@ -201,6 +201,11 @@ def forward(
         and T * n_rep <= 128
         and flash_block > 0
         and jax.default_backend() == "tpu"
+        # at B=1 on short caches the dense masked path beats the kernel's
+        # fixed cost (measured: 1.24 vs 1.50 ms on a 3-layer draft step at
+        # S=256); flash wins from B>=2 or once the cache is long enough
+        # that O(valid) traffic matters
+        and (B * T >= 2 or S > 512)
         and os.environ.get("DUODEC_NO_FLASH") != "1"
         # int8-flash: correct (unit + on-chip validated incl. inside plain
         # while_loops, T in {1,2,5}) but the COMPOSITION of its pallas
@@ -324,15 +329,21 @@ def forward(
         return h, (k_cache, v_cache)
 
     idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    # shallow (draft-slice) models: unroll the layer loop — removes the
+    # scan's per-layer xs/ys bookkeeping and lets XLA schedule across layer
+    # boundaries; deep models stay rolled (compile time at 13B depth)
+    unroll = cfg.num_layers if cfg.num_layers <= 4 else 1
     if quantized_kv:
         xs = (idxs, arr_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
-        h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(layer_fn, h, xs)
+        h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            layer_fn, h, xs, unroll=unroll
+        )
         new_cache = QuantKVCache(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
         )
     else:
         h, (new_k, new_v) = jax.lax.scan(
-            layer_fn, h, (idxs, arr_layers, cache.k, cache.v)
+            layer_fn, h, (idxs, arr_layers, cache.k, cache.v), unroll=unroll
         )
         new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
@@ -341,6 +352,8 @@ def forward(
         from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
 
         logits = int4_matmul(h, head)  # f32
+        if logits.shape[-1] > cfg.vocab_size:  # tile-padded head columns
+            logits = logits[..., : cfg.vocab_size]
     else:
         logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
     if return_hidden:
