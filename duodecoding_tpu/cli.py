@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     # decoding
     p.add_argument("--max_tokens", "-n", type=int, default=128)
     p.add_argument("--gamma", "-g", type=int, default=4)
+    p.add_argument("--tree_k", type=int, default=2,
+                   help="sd_tree fork width (DuoDecoding k-sequence draft)")
     p.add_argument("--gamma1", type=int, default=4)
     p.add_argument("--gamma2", type=int, default=4)
     p.add_argument("--temp", type=float, default=0.0)
@@ -235,6 +237,8 @@ def build_mode_kwargs(args, engine):
     """Resolve adapters/RL per the registries, mirroring the reference's
     path resolution (src/utils.py:594-642)."""
     kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
+    if args.eval_mode in ("sd_tree", "duodec", "sd_kseq"):
+        kw["tree_k"] = args.tree_k
     if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2", "space"):
         kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":

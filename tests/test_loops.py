@@ -154,3 +154,56 @@ def test_sd_respects_token_budget_exactly():
     for max_new in (5, 11, 24):
         out_tokens, n, *_ = _sd(d_params, t_params, CFG, CFG_DEEP, gamma=4, max_new=max_new)
         assert int(n) - len(PROMPT) == max_new
+
+
+def test_prefill_chunk_sizes_padded_tail():
+    from duodecoding_tpu.engine.loops import prefill_chunk_sizes
+
+    # one padded power-of-two tail
+    assert prefill_chunk_sizes(63) == [64]
+    assert prefill_chunk_sizes(64) == [64]
+    assert prefill_chunk_sizes(100) == [128]
+    assert prefill_chunk_sizes(600) == [512, 128]
+    assert prefill_chunk_sizes(0) == []
+    # cap fallback: padded tail would overrun the cache -> binary chunks
+    assert prefill_chunk_sizes(100, cap=110) == [64, 32, 4]
+    assert sum(prefill_chunk_sizes(100, cap=110)) == 100
+
+
+def test_prefill_padded_equals_exact():
+    """Padded-tail prefill must yield the same decode continuation as an
+    exact (unpadded) chunk plan."""
+    import numpy as np
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    cfg = resolve_config("test-tiny")
+    t = Tier(cfg, init_random_params(cfg, jax.random.PRNGKey(5), jnp.float32))
+    # prompt length 12 -> n=11 -> padded tail 16 > 11
+    prompt = np.arange(3, 15, dtype=np.int32)[None, :]
+    ec = EngineConfig(max_tokens=8, max_seq_len=64, param_dtype=jnp.float32,
+                      cache_dtype=jnp.float32)
+    eng = Engine(target=t, config=ec)
+    out1, _ = eng.run("large", prompt)
+    out2, _ = eng.run("large", prompt)
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_padded_int4_head_matches_unpadded():
+    """quantize_params pads lm_head columns to full kernel tiles; logits
+    must match the unpadded quantization on the real vocab columns."""
+    import numpy as np
+
+    from duodecoding_tpu.models import (
+        forward, init_cache, init_random_params, resolve_config,
+    )
+    from duodecoding_tpu.models.quant import quantize_params
+
+    cfg = resolve_config("test-tiny")  # untied by default
+    params = init_random_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qp = quantize_params(params, group_size=16)
+    assert qp["lm_head"]["packed"].shape[-1] % 512 == 0
+    tokens = jnp.array([[3, 1, 4]], jnp.int32)
+    logits, _ = forward(qp, cfg, tokens, init_cache(cfg, 1, 16, jnp.float32))
+    assert logits.shape[-1] == cfg.vocab_size
