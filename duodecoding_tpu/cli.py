@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gamma", "-g", type=int, default=4)
     p.add_argument("--tree_k", type=int, default=2,
                    help="sd_tree fork width (DuoDecoding k-sequence draft)")
+    p.add_argument("--tree_spec", type=str, default=None,
+                   help="sd_tree per-level branch factors, e.g. '4,2,2,1' "
+                        "(overrides --tree_k/--gamma)")
     p.add_argument("--gamma1", type=int, default=4)
     p.add_argument("--gamma2", type=int, default=4)
     p.add_argument("--temp", type=float, default=0.0)
@@ -239,6 +242,8 @@ def build_mode_kwargs(args, engine):
     kw = {"transfer_top_k": args.transfer_top_k, "task_name": args.task}
     if args.eval_mode in ("sd_tree", "duodec", "sd_kseq"):
         kw["tree_k"] = args.tree_k
+        if args.tree_spec:
+            kw["tree_spec"] = args.tree_spec
     if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2", "space"):
         kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":

@@ -1,12 +1,14 @@
-"""`sd_tree` — k-chain tree speculative decoding (DuoDecoding k-sequence
-drafting, TPU-native).
+"""`sd_tree` — tree speculative decoding (DuoDecoding k-sequence drafting
+generalised to branch-spec trees, TPU-native).
 
 Reference parity: src/model_cpu.py:138-252 ``generate_k_seq`` — the
 original DuoDecoding CPU draft proposes k candidate sequences (k in
-{1,2,4,6,8}) that the target verifies together. Here the fork-at-root
-tree is drafted with the chains on the batch axis and verified in one
-tree-attention forward (engine/tree_loops.py). Greedy only; output is
-token-identical to ``large`` (losslessness contract).
+{1,2,4,6,8}) that the target verifies together; that fork-at-root tree is
+``tree_k`` here. ``tree_spec`` generalises it to branching at every level
+(SpecInfer/EAGLE-2-shaped token trees). Drafting puts one lane per leaf
+on the draft's batch axis and the target verifies the deduplicated tree
+in one tree-attention forward (engine/tree_loops.py). Greedy only;
+output is token-identical to ``large`` (losslessness contract).
 """
 
 from __future__ import annotations
@@ -19,12 +21,24 @@ import jax.numpy as jnp
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.modes.common import run_sd_loop  # noqa: F401 (doc xref)
 from duodecoding_tpu.engine.registry import register_mode
-from duodecoding_tpu.engine.tree_loops import ktree_generate
+from duodecoding_tpu.engine.tree_loops import tree_generate
+
+
+def parse_spec(tree_spec) -> tuple[int, ...]:
+    """Normalise a branch spec: tuple/list of ints or a '4,2,2,1' string."""
+    if isinstance(tree_spec, str):
+        tree_spec = [int(t) for t in tree_spec.replace("x", ",").split(",") if t]
+    spec = tuple(int(k) for k in tree_spec)
+    if not spec or any(k < 1 for k in spec):
+        raise ValueError(f"invalid tree_spec {tree_spec!r}")
+    return spec
 
 
 @register_mode("sd_tree", aliases=("duodec", "sd_kseq"))
-def sd_tree(engine, prefix, tree_k: int = 2, **kw):
-    """k-chain tree SD. ``tree_k`` = fork width (draft top-k first tokens)."""
+def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
+    """Tree SD. ``tree_spec`` = per-level branch factors (e.g. (4, 2, 2, 1));
+    ``tree_k`` alone = fork width for the k-chain special case
+    ``(tree_k, 1, ..., 1)`` over ``gamma`` levels."""
     from duodecoding_tpu.engine.engine import Stopwatch, block
     from duodecoding_tpu.engine.loops import prefill
 
@@ -37,7 +51,12 @@ def sd_tree(engine, prefix, tree_k: int = 2, **kw):
     draft, target = engine.draft, engine.target
     tokens, L = engine.token_buffer(prefix)
     gamma = kw.get("gamma") or cfg.gamma
-    k = int(tree_k)
+    if tree_spec is not None:
+        spec = parse_spec(tree_spec)
+        gamma = len(spec)
+    else:
+        spec = (int(tree_k),) + (1,) * (gamma - 1)
+    lanes = int(np.prod(spec))
     if L < gamma + 2:
         raise ValueError(
             f"sd_tree needs prompt_len >= gamma + 2 (catch-up rewind); "
@@ -45,7 +64,7 @@ def sd_tree(engine, prefix, tree_k: int = 2, **kw):
         )
     eos = cfg.eos_ids if kw.get("use_early_stopping") else ()
 
-    d_cache = engine.new_cache(draft, batch=k)
+    d_cache = engine.new_cache(draft, batch=lanes)
     t_cache = engine.new_cache(target)
 
     with Stopwatch() as sw:
@@ -53,10 +72,10 @@ def sd_tree(engine, prefix, tree_k: int = 2, **kw):
             draft.params,
             draft.cfg,
             d_cache,
-            jnp.broadcast_to(tokens[:, :L], (k, L)),
+            jnp.broadcast_to(tokens[:, :L], (lanes, L)),
         )
         t_cache = prefill(target.params, target.cfg, t_cache, tokens[:, :L])
-        out_tokens, n, records, iters, d_steps, t_steps = ktree_generate(
+        out_tokens, n, records, iters, d_steps, t_steps = tree_generate(
             draft.params,
             target.params,
             tokens,
@@ -65,8 +84,7 @@ def sd_tree(engine, prefix, tree_k: int = 2, **kw):
             t_cache,
             draft_cfg=draft.cfg,
             target_cfg=target.cfg,
-            k=k,
-            gamma=gamma,
+            spec=spec,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
         )

@@ -1,31 +1,41 @@
-"""Device-resident k-chain tree speculative decoding.
+"""Device-resident tree speculative decoding (branch-spec trees).
 
-TPU-native equivalent of the reference's multi-sequence drafting — the
+TPU-native generalisation of the reference's multi-sequence drafting — the
 original DuoDecoding headline: the GGUF CPU draft proposes k candidate
 continuations per step (``generate_k_seq``, reference:
 src/model_cpu.py:138-252, k in {1,2,4,6,8} from logprob gaps) and the
-target verifies them together. Here the draft forks into the top-k first
-tokens and continues each chain greedily — drafting runs with the chains
-on the BATCH axis (weight-bound decode matmuls cost the same at B=k as at
-B=1), and the target verifies the whole fork-at-root tree in ONE forward
-using tree attention (window_mask / position_offsets, the same machinery
-as ops/tree.py / the reference's medusa tree buffers,
-src/model/medusa/utils.py:233).
+target verifies them together.
+
+A tree is described by a static branch spec ``(k1, ..., k_gamma)``: the
+draft's top-``k1`` first tokens each fork into their top-``k2``
+continuations, and so on (``k_i = 1`` continues greedily). The DuoDecoding
+k-sequence tree is the special case ``(k, 1, ..., 1)``; deeper hedging
+(e.g. ``(4, 2, 2, 1)``) lifts the expected accepted length further, the
+same shape as SpecInfer/EAGLE-2 token trees.
+
+Drafting runs with one lane per LEAF on the draft's BATCH axis — decode
+matmuls are weight-bound, so B = prod(spec) lanes cost the same HBM
+traffic as one — and lane ``l``'s token at level ``i`` is
+``top_{k_i}(lane logits)[(l // stride_i) % k_i]``; lanes sharing a prefix
+have identical caches/logits up to the fork, so the picks are consistent
+by construction. The target verifies the whole deduplicated tree (one row
+per distinct prefix) in ONE forward using tree attention (window_mask /
+position_offsets, the same machinery as ops/tree.py / the reference's
+medusa tree buffers, src/model/medusa/utils.py:233).
 
 Why it beats chain SD at a fixed draft quality: with per-position draft
-accept rate beta, the first position gates the whole window; hedging it
-with the draft's top-k (accept iff the target's argmax is ANY of the k
-first tokens) lifts the gate from P(argmax = top1) to
+accept rate beta, every level gates the window behind it; hedging level i
+with the draft's top-k lifts that gate from P(argmax = top1) to
 P(argmax in top-k) at zero extra draft forwards and one identical-cost
-verify forward (decode-time forwards are weight-bound; T = 1 + k*gamma
-tokens stream the same weights as T = 1).
+verify forward (decode-time forwards are weight-bound; T tree tokens
+stream the same weights as T = 1 while T stays modest).
 
 Greedy (temperature 0) only — the accepted prefix is the target's own
 greedy path, so output is token-identical to ``large`` (the losslessness
 contract). The draft-lane caches are re-synchronised every iteration by a
-static-length catch-up forward (see loops.py's catch-up invariant; here
-the rewind depth is gamma+2 because committed tokens may have been
-computed in any lane).
+static-length catch-up forward (see loops.py's catch-up invariant; the
+rewind depth is gamma+2 because committed tokens may have been computed
+in any lane).
 """
 
 from __future__ import annotations
@@ -53,7 +63,7 @@ from duodecoding_tpu.ops.sampling import norm_logits
 class KTreeState(NamedTuple):
     tokens: jax.Array  # [1, S]
     n_tokens: jax.Array
-    draft_cache: object  # [L, k, S, ...] — chains on the batch axis
+    draft_cache: object  # [L, B, S, ...] — lanes on the batch axis
     target_cache: object  # [L, 1, S, ...]
     done: jax.Array
     it: jax.Array
@@ -62,36 +72,81 @@ class KTreeState(NamedTuple):
     records: SDRecords
 
 
-def tree_layout(k: int, gamma: int):
-    """Static verify-window layout for a fork-at-root k-chain tree.
+class TreeLayout(NamedTuple):
+    """Static (numpy) layout of a branch-spec tree's verify window."""
 
-    index 0 = the last committed token (depth offset 0); index
-    1 + j*gamma + i = chain j's node i (depth offset i+1). Returns
-    (position_offsets [T], window_mask [T, T]) as numpy constants.
+    offsets: np.ndarray  # [T] depth of each verify row (0 = committed token)
+    mask: np.ndarray  # [T, T] ancestor visibility
+    pick: np.ndarray  # [gamma, B] lane l's branch index at each level
+    lane_nodes: np.ndarray  # [B, gamma] verify row of lane l's level-i node
+    parent_rows: np.ndarray  # [B, gamma] verify row of that node's parent
+    node_from_lane: np.ndarray  # [T-1] a lane containing row r+1
+    node_level: np.ndarray  # [T-1] depth-1 of row r+1
+
+
+def spec_layout(spec: tuple[int, ...]) -> TreeLayout:
+    """Build the static layout for branch spec ``spec``.
+
+    Rows are assigned lane-major, level-minor, so a lane's rows strictly
+    increase with depth and the level-``i`` row is always >= i+1 — the
+    commit relocation relies on this (moving row ``win[i]`` to row ``i+1``
+    never clobbers a yet-unread source).
     """
-    T = 1 + k * gamma
-    offsets = np.zeros((T,), np.int32)
+    gamma = len(spec)
+    B = int(np.prod(spec))
+    strides = [int(np.prod(spec[i + 1 :])) for i in range(gamma)]
+    pick = np.zeros((gamma, B), np.int32)
+    for l in range(B):
+        for i in range(gamma):
+            pick[i, l] = (l // strides[i]) % spec[i]
+    node_id: dict[tuple, int] = {}
+    lane_nodes = np.zeros((B, gamma), np.int32)
+    node_from_lane: list[int] = []
+    node_level: list[int] = []
+    offsets = [0]
+    rows = 1
+    for l in range(B):
+        for i in range(gamma):
+            prefix = tuple(pick[: i + 1, l])
+            if prefix not in node_id:
+                node_id[prefix] = rows
+                node_from_lane.append(l)
+                node_level.append(i)
+                offsets.append(i + 1)
+                rows += 1
+            lane_nodes[l, i] = node_id[prefix]
+    T = rows
     mask = np.zeros((T, T), bool)
     mask[0, 0] = True
-    for j in range(k):
+    for l in range(B):
         for i in range(gamma):
-            r = 1 + j * gamma + i
-            offsets[r] = i + 1
+            r = lane_nodes[l, i]
             mask[r, 0] = True
-            for a in range(i + 1):
-                mask[r, 1 + j * gamma + a] = True
-    return offsets, mask
+            mask[r, r] = True
+            for a in range(i):
+                mask[r, lane_nodes[l, a]] = True
+    parent_rows = np.concatenate(
+        [np.zeros((B, 1), np.int32), lane_nodes[:, :-1]], axis=1
+    )
+    return TreeLayout(
+        offsets=np.asarray(offsets, np.int32),
+        mask=mask,
+        pick=pick,
+        lane_nodes=lane_nodes,
+        parent_rows=parent_rows,
+        node_from_lane=np.asarray(node_from_lane, np.int32),
+        node_level=np.asarray(node_level, np.int32),
+    )
 
 
-def _relocate_rows(cache, src, dst, count: int):
-    """Copy ``count`` sequence rows from ``src`` to ``dst`` in every cache
-    buffer (axis 2 = sequence). Used to move the winning chain's verified
-    KV rows from their tree positions to their linear positions — the
-    reference medusa's KV gather (src/model/medusa/utils.py:274ff
-    evaluate_posterior + cache reorder), as pure index bookkeeping."""
+def _relocate_row(cache, src, dst):
+    """Move one sequence row (axis 2) from ``src`` to ``dst`` in every
+    cache buffer — the per-row form of the medusa KV gather (reference
+    src/model/medusa/utils.py:274ff evaluate_posterior + cache reorder),
+    as pure index bookkeeping."""
 
     def move(a):
-        sl = jax.lax.dynamic_slice_in_dim(a, src, count, axis=2)
+        sl = jax.lax.dynamic_slice_in_dim(a, src, 1, axis=2)
         return jax.lax.dynamic_update_slice_in_dim(a, sl, dst, axis=2)
 
     fields = {
@@ -100,62 +155,72 @@ def _relocate_rows(cache, src, dst, count: int):
     return cache._replace(**fields)
 
 
-def ktree_iteration(
+def tree_iteration(
     draft_params,
     target_params,
     s: KTreeState,
     *,
     draft_cfg: ModelConfig,
     target_cfg: ModelConfig,
-    k: int,
-    gamma: int,
+    spec: tuple[int, ...],
     eos_ids: tuple[int, ...],
     limit: jax.Array,
 ) -> KTreeState:
     verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+    gamma = len(spec)
+    B = int(np.prod(spec))
+    kmax = max(spec)
+    lay = spec_layout(spec)
     n = s.n_tokens
     CU = gamma + 2
+    probe = os.environ.get("DUODEC_TREE_PROBE", "")  # perf-bisect diagnostics
 
-    # --- draft: catch-up (re-sync all lanes), fork, greedy chains --------
-    if "nocatchup" in os.environ.get("DUODEC_TREE_PROBE", ""):
+    # --- draft: catch-up (re-sync all lanes), branch, pick ----------------
+    if "nodraft" in probe:
         d_cache = s.draft_cache
-        logits = jnp.zeros((k, 1, draft_cfg.vocab_size), jnp.float32)
-        chain0 = (jnp.arange(k, dtype=jnp.int32) + 5) * (n % 7 + 1)
+        logits = jnp.zeros((B, 1, draft_cfg.vocab_size), jnp.float32)
+        chains = jnp.broadcast_to(
+            ((jnp.arange(B, dtype=jnp.int32) + 5) * (n % 7 + 1))[:, None],
+            (B, gamma),
+        )
     else:
         d_cache = set_cache_length(
             s.draft_cache, jnp.minimum(s.draft_cache.length, n - CU)
         )
         catch = jax.lax.dynamic_slice(s.tokens, (0, n - CU), (1, CU))
-        catch_k = jnp.broadcast_to(catch, (k, CU))
+        catch_k = jnp.broadcast_to(catch, (B, CU))
         logits, d_cache = forward(draft_params, draft_cfg, catch_k, d_cache)
         q0 = logits[0, -1, :verify_vocab]  # lanes identical after catch-up
-        _, fork = jax.lax.top_k(q0, k)  # [k] distinct first tokens
-        chain0 = fork.astype(jnp.int32)
+        _, top0 = jax.lax.top_k(q0, spec[0])
+        chain0 = top0[lay.pick[0]].astype(jnp.int32)  # [B]
 
-    def draft_step(carry, _):
-        last, d_cache = carry
-        lg, d_cache = forward(draft_params, draft_cfg, last[:, None], d_cache)
-        nxt = jnp.argmax(lg[:, -1, :verify_vocab], axis=-1).astype(jnp.int32)
-        return (nxt, d_cache), nxt
+        def draft_step(carry, pick_i):
+            last, d_cache = carry
+            lg, d_cache = forward(
+                draft_params, draft_cfg, last[:, None], d_cache
+            )
+            _, topi = jax.lax.top_k(lg[:, -1, :verify_vocab], kmax)  # [B, kmax]
+            nxt = jnp.take_along_axis(topi, pick_i[:, None], axis=1)[
+                :, 0
+            ].astype(jnp.int32)
+            return (nxt, d_cache), nxt
 
-    if "nodraft" in os.environ.get("DUODEC_TREE_PROBE", ""):
-        chains = jnp.broadcast_to(chain0[:, None], (k, gamma))
-    else:
         (_, d_cache), rest = jax.lax.scan(
-            draft_step, (chain0, d_cache), None, length=gamma - 1
-        )
-        chains = jnp.concatenate([chain0[:, None], rest.T], axis=1)  # [k, gamma]
+            draft_step, (chain0, d_cache), jnp.asarray(lay.pick[1:])
+        )  # rest: [gamma-1, B]
+        chains = jnp.concatenate([chain0[None, :], rest], axis=0).T  # [B, g]
 
-    # --- verify: one tree-attention forward ------------------------------
-    probe = os.environ.get("DUODEC_TREE_PROBE", "")  # perf-bisect diagnostics
-    offsets_np, mask_np = tree_layout(k, gamma)
+    # --- verify: one tree-attention forward over the deduplicated tree ----
     last_tok = jax.lax.dynamic_slice(s.tokens, (0, n - 1), (1, 1))[0]
-    ver_in = jnp.concatenate([last_tok, chains.reshape(-1)])[None, :]
+    ver_nodes = chains[lay.node_from_lane, lay.node_level]  # [T-1]
+    ver_in = jnp.concatenate([last_tok, ver_nodes])[None, :]
+    T = ver_in.shape[1]
     if "noverify" in probe:
         t_cache = s.target_cache
         t_logits = (
-            jnp.zeros((1, 1 + k * gamma, target_cfg.vocab_size), jnp.float32)
-            .at[:, :, 7].set(ver_in.astype(jnp.float32))
+            jnp.zeros((1, T, target_cfg.vocab_size), jnp.float32)
+            .at[:, :, 7]
+            .set(ver_in.astype(jnp.float32))
         )
     else:
         t_logits, t_cache = forward(
@@ -163,30 +228,28 @@ def ktree_iteration(
             target_cfg,
             ver_in,
             s.target_cache,
-            position_offsets=(
-                None if "plaincausal" in probe else jnp.asarray(offsets_np)
-            ),
-            window_mask=None if "plaincausal" in probe else jnp.asarray(mask_np),
+            position_offsets=jnp.asarray(lay.offsets),
+            window_mask=jnp.asarray(lay.mask),
         )
     preds = jnp.argmax(t_logits[0, :, :verify_vocab], axis=-1).astype(
         jnp.int32
     )  # [T]
 
-    # --- greedy walk (vectorized over chains) ----------------------------
-    pred0 = preds[0]
-    node_preds = preds[1:].reshape(k, gamma)  # target argmax AT each node
-    match0 = chains[:, 0] == pred0  # [k]
-    cons = chains[:, 1:] == node_preds[:, :-1]  # [k, gamma-1]
-    run_len = jnp.sum(jnp.cumprod(cons.astype(jnp.int32), axis=1), axis=1)
-    m_j = jnp.where(match0, 1 + run_len, 0)  # [k]
-    w = jnp.argmax(m_j).astype(jnp.int32)
-    m = m_j[w]
+    # --- greedy walk (vectorized over lanes) ------------------------------
+    # lane l's level-i token is accepted while it equals the target's
+    # argmax at its PARENT node (row 0 = the committed token for level 0)
+    preds_parent = jnp.take(preds, jnp.asarray(lay.parent_rows))  # [B, gamma]
+    cons = chains == preds_parent
+    m_l = jnp.sum(jnp.cumprod(cons.astype(jnp.int32), axis=1), axis=1)  # [B]
+    w = jnp.argmax(m_l).astype(jnp.int32)
+    m = m_l[w]
     # budget clamp: never commit past `limit` (the reference clamps gamma
     # to the remaining budget; with a static tree we clamp the commit)
     m = jnp.minimum(m, limit - 1 - n)
+    win_rows = jnp.take(jnp.asarray(lay.lane_nodes), w, axis=0)  # [gamma]
     win_chain = chains[w]  # [gamma]
-    win_preds = node_preds[w]  # [gamma]
-    bonus = jnp.where(m == 0, pred0, win_preds[jnp.maximum(m - 1, 0)])
+    preds_at_w = jnp.take(preds, win_rows)  # [gamma]
+    bonus = jnp.where(m == 0, preds[0], preds_at_w[jnp.maximum(m - 1, 0)])
 
     # --- commit -----------------------------------------------------------
     tokens = jax.lax.dynamic_update_slice(s.tokens, win_chain[None, :], (0, n))
@@ -194,14 +257,17 @@ def ktree_iteration(
     n_new = n + m + 1
 
     # --- caches -----------------------------------------------------------
-    # target: verified rows for the winning chain sit at tree positions
-    # start+1+w*gamma...; move them to linear positions start+1... then
-    # restore the lag-1 invariant (length = n_new - 1).
+    # target: the winning lane's verified rows sit at scattered tree
+    # positions start+win_rows[i]; move them to linear positions start+1+i
+    # then restore the lag-1 invariant (length = n_new - 1). Row order is
+    # safe: win_rows[i] >= i+1 (see spec_layout), so writing row i+1 never
+    # clobbers a source row j>i still to be read.
     start = n - 1
     if "norelocate" not in probe:
-        t_cache = _relocate_rows(
-            t_cache, start + 1 + w * gamma, start + 1, gamma
-        )
+        for i in range(gamma):
+            t_cache = _relocate_row(
+                t_cache, start + win_rows[i], start + 1 + i
+            )
     t_cache = set_cache_length(t_cache, n_new - 1)
     # draft lanes are rewound and re-synced next iteration; only the length
     # bookkeeping matters (it must stay >= n_new - CU, which holds: lanes
@@ -241,14 +307,13 @@ def ktree_iteration(
     static_argnames=(
         "draft_cfg",
         "target_cfg",
-        "k",
-        "gamma",
+        "spec",
         "max_new_tokens",
         "eos_ids",
     ),
     donate_argnums=(2, 4, 5),
 )
-def ktree_generate(
+def tree_generate(
     draft_params,
     target_params,
     tokens: jax.Array,
@@ -258,12 +323,11 @@ def ktree_generate(
     *,
     draft_cfg: ModelConfig,
     target_cfg: ModelConfig,
-    k: int,
-    gamma: int,
+    spec: tuple[int, ...],
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
 ):
-    """Full k-chain tree-SD generation on device (greedy).
+    """Full branch-spec tree-SD generation on device (greedy).
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
     """
@@ -273,18 +337,18 @@ def ktree_generate(
         return jnp.logical_and(s.n_tokens < limit, ~jnp.all(s.done))
 
     def body(s: KTreeState):
-        return ktree_iteration(
+        return tree_iteration(
             draft_params,
             target_params,
             s,
             draft_cfg=draft_cfg,
             target_cfg=target_cfg,
-            k=k,
-            gamma=gamma,
+            spec=spec,
             eos_ids=eos_ids,
             limit=limit,
         )
 
+    gamma = len(spec)
     init = KTreeState(
         tokens=tokens,
         n_tokens=jnp.asarray(n_tokens, jnp.int32),
@@ -296,6 +360,7 @@ def ktree_generate(
         target_steps=jnp.int32(0),
         records=init_sd_records(max_new_tokens),
     )
+    del gamma
     out = jax.lax.while_loop(cond, body, init)
     return (
         out.tokens,
@@ -305,3 +370,44 @@ def ktree_generate(
         out.draft_steps,
         out.target_steps,
     )
+
+
+def ktree_generate(
+    draft_params,
+    target_params,
+    tokens,
+    n_tokens,
+    draft_cache,
+    target_cache,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    k: int,
+    gamma: int,
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+):
+    """Fork-at-root k-chain tree (DuoDecoding generate_k_seq parity) — the
+    ``spec = (k, 1, ..., 1)`` special case of ``tree_generate``."""
+    return tree_generate(
+        draft_params,
+        target_params,
+        tokens,
+        n_tokens,
+        draft_cache,
+        target_cache,
+        draft_cfg=draft_cfg,
+        target_cfg=target_cfg,
+        spec=(k,) + (1,) * (gamma - 1),
+        max_new_tokens=max_new_tokens,
+        eos_ids=eos_ids,
+    )
+
+
+def tree_layout(k: int, gamma: int):
+    """Fork-at-root layout (kept for tests/back-compat): returns
+    (position_offsets [T], window_mask [T, T]) for ``spec = (k, 1, ...)``.
+    Note the general ``spec_layout`` orders rows lane-major (chain j's
+    nodes contiguous), matching the historical layout."""
+    lay = spec_layout((k,) + (1,) * (gamma - 1))
+    return lay.offsets, lay.mask

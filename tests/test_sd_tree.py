@@ -83,3 +83,79 @@ def test_sd_tree_short_prompt_raises():
     eng = make_engine()
     with pytest.raises(ValueError):
         eng.run("sd_tree", np.array([[5, 9, 2]], dtype=np.int32))
+
+
+# --- branch-spec trees -------------------------------------------------
+
+
+def test_spec_layout_invariants():
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+
+    for spec in [(2, 1, 1), (2, 2, 1), (3, 2), (4, 2, 2, 1), (1, 1)]:
+        lay = spec_layout(spec)
+        gamma = len(spec)
+        B = int(np.prod(spec))
+        T = 1 + len(lay.node_from_lane)
+        assert lay.offsets.shape == (T,)
+        assert lay.mask.shape == (T, T)
+        assert lay.lane_nodes.shape == (B, gamma)
+        # relocation safety: a lane's level-i row is always >= i+1 and
+        # strictly increases with depth
+        for l in range(B):
+            rows = lay.lane_nodes[l]
+            assert all(rows[i] >= i + 1 for i in range(gamma))
+            assert all(rows[i] < rows[i + 1] for i in range(gamma - 1))
+        # parent rows: level 0's parent is the root row 0
+        assert (lay.parent_rows[:, 0] == 0).all()
+        np.testing.assert_array_equal(
+            lay.parent_rows[:, 1:], lay.lane_nodes[:, :-1]
+        )
+        # every node sees exactly root + its ancestors + itself
+        for l in range(B):
+            for i in range(gamma):
+                r = lay.lane_nodes[l, i]
+                expect = {0, r} | {lay.lane_nodes[l, a] for a in range(i)}
+                assert set(np.nonzero(lay.mask[r])[0].tolist()) == expect
+        # node count = number of distinct prefixes
+        prefixes = set()
+        for l in range(B):
+            for i in range(gamma):
+                prefixes.add(tuple(lay.pick[: i + 1, l]))
+        assert T == 1 + len(prefixes)
+
+
+@pytest.mark.parametrize("spec", [(2, 2, 1), (3, 2), (2, 2, 2)])
+def test_sd_tree_branch_spec_lossless(spec):
+    eng = make_engine()
+    out_ar, _ = eng.run("large", PROMPT)
+    out_tree, m = eng.run("sd_tree", PROMPT, tree_spec=spec)
+    np.testing.assert_array_equal(out_tree[0], out_ar[0])
+    assert m["generated_tokens"] == 16
+
+
+def test_sd_tree_branch_spec_int8_kv_lossless():
+    eng = make_engine(int8_kv=True)
+    out_ar, _ = eng.run("large", PROMPT)
+    out_tree, _ = eng.run("sd_tree", PROMPT, tree_spec=(2, 2, 1))
+    np.testing.assert_array_equal(out_tree[0], out_ar[0])
+
+
+def test_sd_tree_spec_string_and_validation():
+    from duodecoding_tpu.engine.modes.sd_tree import parse_spec
+
+    assert parse_spec("4,2,2,1") == (4, 2, 2, 1)
+    assert parse_spec("3x2x1") == (3, 2, 1)
+    assert parse_spec((2, 2)) == (2, 2)
+    with pytest.raises(ValueError):
+        parse_spec("")
+    with pytest.raises(ValueError):
+        parse_spec((2, 0))
+
+
+def test_sd_tree_deeper_hedge_never_fewer_commits():
+    """Hedging level 2 as well can only extend accepted prefixes (the
+    (k,1,..) tree's paths are a subset), so iterations never increase."""
+    eng = make_engine()
+    _, m_chain = eng.run("sd_tree", PROMPT, tree_spec=(2, 1, 1))
+    _, m_deep = eng.run("sd_tree", PROMPT, tree_spec=(2, 2, 2))
+    assert m_deep["loop_times"] <= m_chain["loop_times"]

@@ -1,0 +1,88 @@
+"""On-chip cost of ONE draft-step forward (the SD loop's hot inner op).
+
+Two-scan-length difference method (tools/profile_kernels.py rules): the
+draft step runs inside a jitted lax.scan whose token input is perturbed by
+the integer iteration index (no CSE), carrying a max-reduction; the same
+program compiles at two scan lengths and the per-step time is the
+difference — dispatch and prefill cancel.
+
+Usage: PYTHONPATH=/root/repo python tools/probe_draft.py [B ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ALPHA = 0.0005549774770204644  # bench warm calibrated value (seed 0)
+
+
+def main():
+    from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, scale_residual, truncate_model,
+    )
+    from duodecoding_tpu.models.transformer import (
+        forward, init_cache, set_cache_length,
+    )
+
+    cfg = resolve_config("llama-2-13b")
+    qparams = init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    jax.block_until_ready(qparams["embed"])
+    tp = scale_residual(qparams, ALPHA)
+    dcfg, dp = truncate_model(cfg, tp, 3)
+    S = 512
+
+    batches = [int(a) for a in sys.argv[1:]] or [1, 16]
+    for B in batches:
+        cache0 = init_cache(dcfg, B, S)
+        # warm the cache to a realistic decode position
+        warm = jnp.ones((B, 64), jnp.int32)
+        _, cache0 = forward(dp, dcfg, warm, cache0)
+        jax.block_until_ready(cache0.k)
+
+        def make(n_steps):
+            @jax.jit
+            def run(cache):
+                def step(carry, i):
+                    best, cache = carry
+                    tok = (i % 1000 + 1).astype(jnp.int32)
+                    toks = jnp.full((B, 1), tok, jnp.int32)
+                    lg, cache = forward(dp, dcfg, toks, cache)
+                    nxt = jnp.argmax(lg[:, -1, :], axis=-1)
+                    best = jnp.maximum(best, jnp.max(nxt))
+                    # keep the cache length fixed so every step costs the same
+                    cache = set_cache_length(cache, 64)
+                    return (best, cache), None
+
+                (best, _), _ = jax.lax.scan(
+                    step, (jnp.int32(-1), cache), jnp.arange(n_steps)
+                )
+                return best
+
+            return run
+
+        outs = {}
+        for n in (32, 128):
+            run = make(n)
+            t0 = time.time()
+            int(run(cache0))  # compile + first run
+            print(f"  B={B} n={n}: compile+run {time.time()-t0:.1f}s",
+                  flush=True)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(run(cache0))
+                best = min(best, time.perf_counter() - t0)
+            outs[n] = best
+        per = (outs[128] - outs[32]) / (128 - 32)
+        print(f"B={B}: draft step {per*1e3:.3f} ms/forward", flush=True)
+
+
+if __name__ == "__main__":
+    main()
