@@ -186,6 +186,7 @@ def int4_kernel_sol(cfg, tiny):
 def part_a_13b(tiny):
     """13B-class AR vs SD on one chip, INT4 weights + INT8 KV."""
     from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.quant import fuse_params
     from duodecoding_tpu.models.surgery import (
         init_random_quant_params, param_bytes, scale_residual, truncate_model,
     )
@@ -208,7 +209,10 @@ def part_a_13b(tiny):
         f"INT4 group={group}, INT8 KV={int8_kv}), draft = first {k_draft}/"
         f"{cfg.num_layers} layers")
     t0 = time.time()
-    qparams = init_random_quant_params(cfg, jax.random.PRNGKey(0), group)
+    # fused QKV / gate-up: exact (bitwise-identical outputs — the warm
+    # calibration bracket below stays valid), one kernel launch per
+    # projection group
+    qparams = fuse_params(init_random_quant_params(cfg, jax.random.PRNGKey(0), group))
     jax.block_until_ready(qparams["embed"])
     pbytes = param_bytes(qparams)
     log(f"[bench] A: init {time.time()-t0:.1f}s, {pbytes/1e9:.2f} GB packed")
@@ -268,12 +272,25 @@ def part_a_13b(tiny):
     # same gamma drafting cost, the fork hedges the first position) and
     # optionally a second gamma
     runs = [best]
-    tree_ks = (3,)
-    if os.environ.get("BENCH_TREE_SWEEP") == "1":
-        tree_ks = (2, 3, 4)
-    for tk in tree_ks:
-        runs.append(measure_sd(alpha, mode="sd_tree", tree_k=tk))
-        log(f"[bench] A: sd_tree k={tk}: {runs[-1]['tps']:.2f} tok/s "
+    # branch-spec trees (engine/tree_loops.py): per-level top-k hedging
+    # raises tokens-per-target-pass past the chain ceiling
+    tree_specs = [(5, 3, 2, 1)] if not tiny else [(3, 1, 1)]
+    env_specs = os.environ.get("BENCH_TREE_SPECS")
+    if env_specs:
+        tree_specs = [
+            tuple(int(x) for x in s.split(",") if x)
+            for s in env_specs.split(";")
+            if s
+        ]
+    elif os.environ.get("BENCH_TREE_SWEEP") == "1":
+        tree_specs = [
+            (3, 1, 1, 1), (4, 2, 1, 1), (4, 2, 2, 1), (4, 2, 2, 1, 1),
+        ]
+    for sp in tree_specs:
+        runs.append(
+            measure_sd(alpha, g=len(sp), mode="sd_tree", tree_spec=sp)
+        )
+        log(f"[bench] A: sd_tree spec={sp}: {runs[-1]['tps']:.2f} tok/s "
             f"accept={runs[-1]['accept']:.3f}")
     if not tiny and os.environ.get("BENCH_GAMMA_SWEEP") == "1":
         for g in (8,):
@@ -285,7 +302,9 @@ def part_a_13b(tiny):
     results["sd_gamma"] = top["gamma"]
     results["sd_accept"] = top["accept"]
     results["sd_mode"] = top["mode"] + (
-        f" k={top['tree_k']}" if "tree_k" in top else ""
+        f" spec={','.join(map(str, top['tree_spec']))}"
+        if "tree_spec" in top
+        else ""
     )
     results["sd_chain_tps"] = best["tps"]
     results["sd_runs"] = [
@@ -311,7 +330,7 @@ def part_b_dssd(tiny):
     stochastic 23.6 Mbps comm, Qwen1.5-1.8B-arch target, INT4 slice draft
     (~0.29x cost = the 0.5B/1.8B ratio), INT8 KV target."""
     from duodecoding_tpu.models import init_random_params, resolve_config
-    from duodecoding_tpu.models.quant import quantize_params
+    from duodecoding_tpu.models.quant import fuse_params, quantize_params
     from duodecoding_tpu.models.surgery import scale_residual, truncate_model
 
     name = "test-tiny-deep" if tiny else "qwen1.5-1.8b"
@@ -338,7 +357,7 @@ def part_b_dssd(tiny):
     def measure_dssd(alpha):
         tp = scale_residual(t_params, alpha)
         dcfg, dp = truncate_model(cfg, tp, k_draft)
-        dp = quantize_params(dp, group_size=group)
+        dp = fuse_params(quantize_params(dp, group_size=group))
         eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
                           max_seq_len=S, int8_kv=int8_kv, comm=True)
         eng.run("dist_split_spec", prompts[0][None, :], transfer_top_k=1024)

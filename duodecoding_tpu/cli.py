@@ -113,7 +113,11 @@ def build_engine(args):
                     "pass --random_weights for architecture-only runs"
                 )
         if quantize:
-            params = quantize_params(params, args.int4_group_size)
+            from duodecoding_tpu.models.quant import fuse_params
+
+            # fused QKV/gate-up: one kernel launch per projection group
+            # (exact — see models/quant.py::fuse_layer_weights)
+            params = fuse_params(quantize_params(params, args.int4_group_size))
         return Tier(cfg, params)
 
     ec = EngineConfig(

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
+# projection groups that share an input activation: fusable into one matmul
+FUSED_GROUPS = {"wqkv": ("wq", "wk", "wv"), "w_gateup": ("w_gate", "w_up")}
+
 
 def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
     """w: [..., K, N] -> {packed [..., K/2, N] uint8, scales/zeros
@@ -109,6 +112,44 @@ def quantize_params(
         if pad:
             w = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, pad)))
         out["lm_head"] = quantize_int4(w, group_size)
+    return out
+
+
+def fuse_layer_weights(layers: dict) -> dict:
+    """Concatenate the QKV and gate/up projections along their output (N)
+    axis — one matmul kernel launch where there were three (QKV) or two
+    (gate/up).
+
+    Decode-time forwards are dominated by per-kernel fixed costs at small
+    M; fusing cuts the launches per layer from 7 to 4. EXACT for both
+    dense arrays and groupwise-INT4 dicts: quantization affines are
+    per-(group, column), so concatenating quantized parts along N equals
+    quantizing the concatenation, and per-column accumulation order in the
+    kernel is unchanged — fused outputs are bitwise identical.
+    """
+    out = dict(layers)
+    for fused, parts in FUSED_GROUPS.items():
+        if not all(p in out for p in parts):
+            continue
+        ws = [out[p] for p in parts]
+        if all(is_quantized(w) for w in ws):
+            out[fused] = {
+                k: jnp.concatenate([w[k] for w in ws], axis=-1)
+                for k in ("packed", "scales", "zeros")
+            }
+        elif any(is_quantized(w) for w in ws):
+            continue  # mixed precision across the group — leave unfused
+        else:
+            out[fused] = jnp.concatenate(ws, axis=-1)
+        for p in parts:
+            del out[p]
+    return out
+
+
+def fuse_params(params: dict) -> dict:
+    """``fuse_layer_weights`` over a transformer param pytree."""
+    out = dict(params)
+    out["layers"] = fuse_layer_weights(params["layers"])
     return out
 
 

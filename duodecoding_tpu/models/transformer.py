@@ -251,9 +251,19 @@ def forward(
             return mm(x, w(name), idx if name in q_names else None)
 
         x = _rms_norm(h, w("attn_norm"), cfg.rms_norm_eps)
-        q = wmm(x, "wq")
-        k = wmm(x, "wk")
-        v = wmm(x, "wv")
+        if "wqkv" in all_layers:
+            # fused projection (models/quant.py::fuse_layer_weights): one
+            # kernel launch; the split is free (fused into consumers)
+            nq = cfg.num_heads * cfg.head_dim_
+            nkv = cfg.num_kv_heads * cfg.head_dim_
+            qkv = wmm(x, "wqkv")
+            q = qkv[..., :nq]
+            k = qkv[..., nq : nq + nkv]
+            v = qkv[..., nq + nkv :]
+        else:
+            q = wmm(x, "wq")
+            k = wmm(x, "wk")
+            v = wmm(x, "wv")
         if cfg.qkv_bias:
             q = q + w("bq")
             k = k + w("bk")
@@ -268,10 +278,14 @@ def forward(
             ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
             h = h + wmm(ctx, "wo")
             x = _rms_norm(h, w("mlp_norm"), cfg.rms_norm_eps)
-            gate = jax.nn.silu(wmm(x, "w_gate").astype(jnp.float32)).astype(
-                x.dtype
-            )
-            return h + wmm(gate * wmm(x, "w_up"), "w_down")
+            if "w_gateup" in all_layers:
+                gu = wmm(x, "w_gateup")
+                f = cfg.intermediate_size
+                g, u = gu[..., :f], gu[..., f:]
+            else:
+                g, u = wmm(x, "w_gate"), wmm(x, "w_up")
+            gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+            return h + wmm(gate * u, "w_down")
 
         if quantized_kv:
             k_codes, k_s = quantize_kv(k)

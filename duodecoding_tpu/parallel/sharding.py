@@ -40,6 +40,11 @@ def param_partition_specs(cfg: ModelConfig, params=None) -> dict:
         "w_up": P(None, None, "model"),
         "w_down": P(None, "model", None),
     }
+    # fused layouts (models/quant.py::fuse_layer_weights): column-parallel
+    # over the concatenated output axis (GSPMD keeps the post-split slices
+    # correct; head-aligned TP should shard the unfused layout)
+    layers["wqkv"] = P(None, None, "model")
+    layers["w_gateup"] = P(None, None, "model")
     if cfg.qkv_bias:
         layers["bq"] = P(None, "model")
         layers["bk"] = P(None, "model")
@@ -51,6 +56,25 @@ def param_partition_specs(cfg: ModelConfig, params=None) -> dict:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, "model")
+    if params is not None:
+        # adapt to the actual pytree: drop spec entries for absent keys
+        # (fused vs unfused layouts) and expand specs over INT4-quantized
+        # dicts — packed [.., K/2, N] and scales/zeros [.., G, N] all
+        # shard on the same (output-column) axis, so the weight's spec
+        # applies to every quantized leaf
+        specs = {k: v for k, v in specs.items() if k in params}
+        specs["layers"] = {
+            k: (
+                {kk: layers[k] for kk in pv}
+                if isinstance(pv, dict)
+                else layers[k]
+            )
+            for k, pv in params["layers"].items()
+        }
+        if isinstance(params.get("lm_head"), dict):
+            specs["lm_head"] = {
+                kk: specs["lm_head"] for kk in params["lm_head"]
+            }
     return specs
 
 

@@ -24,6 +24,7 @@ ALPHA = 0.0005549774770204644  # bench warm calibrated value (seed 0)
 
 def main():
     from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.quant import fuse_params
     from duodecoding_tpu.models.surgery import (
         init_random_quant_params, scale_residual, truncate_model,
     )
@@ -33,12 +34,14 @@ def main():
 
     cfg = resolve_config("llama-2-13b")
     qparams = init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    if "nofuse" not in sys.argv:
+        qparams = fuse_params(qparams)
     jax.block_until_ready(qparams["embed"])
     tp = scale_residual(qparams, ALPHA)
     dcfg, dp = truncate_model(cfg, tp, 3)
     S = 512
 
-    batches = [int(a) for a in sys.argv[1:]] or [1, 16]
+    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 16]
     for B in batches:
         cache0 = init_cache(dcfg, B, S)
         # warm the cache to a realistic decode position

@@ -24,12 +24,13 @@ ALPHA = 0.0005549774770204644  # bench warm calibrated value (seed 0)
 def main():
     from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
     from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.quant import fuse_params
     from duodecoding_tpu.models.surgery import (
         init_random_quant_params, scale_residual, truncate_model,
     )
 
     cfg = resolve_config("llama-2-13b")
-    qparams = init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    qparams = fuse_params(init_random_quant_params(cfg, jax.random.PRNGKey(0), 128))
     jax.block_until_ready(qparams["embed"])
     tp = scale_residual(qparams, ALPHA)
     dcfg, dp = truncate_model(cfg, tp, 3)
@@ -59,13 +60,17 @@ def main():
                 acc = m["draft_accepted_tokens"] / m["draft_generated_tokens"]
         return best, toks, acc
 
-    for mode, kw in (("large", {}), ("sd", {}), ("sd_tree", {"tree_k": 2}),
-                     ("sd_tree", {"tree_k": 3})):
+    modes = [("large", {}), ("sd", {}), ("sd_tree", {"tree_spec": (3, 1, 1, 1)}),
+             ("sd_tree", {"tree_spec": (4, 2, 2, 1)})]
+    if len(sys.argv) > 1:  # e.g. profile_iter.py 4,2,1,1 2,2,2,1
+        modes = [("sd_tree", {"tree_spec": tuple(int(x) for x in a.split(","))})
+                 for a in sys.argv[1:]]
+    for mode, kw in modes:
         lo, tl, _ = run(mode, 32, **kw)
         hi, th, acc = run(mode, 128, **kw)
         per = (hi - lo) / (th - tl)
-        label = mode + (f" k={kw['tree_k']}" if kw else "")
-        print(f"{label:14s} marginal {per*1e3:6.2f} ms/token "
+        label = mode + (f" {kw.get('tree_spec')}" if kw else "")
+        print(f"{label:24s} marginal {per*1e3:6.2f} ms/token "
               f"({th-tl} extra toks, accept {acc:.3f}) -> "
               f"{1.0/per:6.1f} tok/s loop speed", flush=True)
 
