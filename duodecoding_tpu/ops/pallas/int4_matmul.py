@@ -71,7 +71,69 @@ def _group_loop(x, read_p, read_s, read_z, o_ref, *, group_size: int, K: int):
     o_ref[:] = acc
 
 
-def _kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int):
+def _chunk_loop(
+    x, read_p, read_s, read_z, o_ref, *, group_size: int, K: int, chunk: int
+):
+    """Chunked-group body: ``chunk`` groups unpack + scale-fold together and
+    reduce in ONE MXU dot (vs one small dot per group), with the zero-point
+    fixup batched into a single [TM, G] @ [G, TN] dot at the end. Fewer,
+    larger dots amortize Mosaic's per-dot overhead; the scale fold costs one
+    extra VPU multiply over the unpacked block."""
+    n_groups = K // group_size
+    half = K // 2
+    n_chunks = n_groups // chunk
+    rows = chunk * group_size  # K-rows per chunk
+
+    TM = x.shape[0]
+    TN = o_ref.shape[1]
+    acc = jnp.zeros((TM, TN), jnp.float32)
+    xg_all = []
+    for c in range(n_chunks):
+        a, b = c * rows, (c + 1) * rows
+        parts = []
+        if a < half:
+            lo = read_p(a, min(b, half)).astype(jnp.int32)
+            parts.append((lo & 0xF).astype(jnp.bfloat16))
+        if b > half:
+            hi = read_p(max(a, half) - half, b - half).astype(jnp.int32)
+            parts.append(((hi >> 4) & 0xF).astype(jnp.bfloat16))
+        cg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        sg = read_s(c * chunk, (c + 1) * chunk)  # [chunk, TN] f32
+        sr = jnp.broadcast_to(
+            sg[:, None, :], (chunk, group_size, TN)
+        ).reshape(rows, TN)
+        cg = cg * sr.astype(jnp.bfloat16)
+        xc = x[:, a:b]
+        acc = acc + jnp.dot(xc, cg, preferred_element_type=jnp.float32)
+        xg_all.append(
+            xc.astype(jnp.float32).reshape(TM, chunk, group_size).sum(-1)
+        )
+    xg = jnp.concatenate(xg_all, axis=1)  # [TM, G]
+    zg = read_z(0, n_groups)  # [G, TN]
+    acc = acc + jnp.dot(
+        xg.astype(jnp.bfloat16),
+        zg.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = acc
+
+
+def _kernel(
+    x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int,
+    chunk: int = 1,
+):
+    if chunk > 1:
+        _chunk_loop(
+            x_ref[:],
+            lambda lo, hi: p_ref[lo:hi, :],
+            lambda a, b: s_ref[a:b, :],
+            lambda a, b: z_ref[a:b, :],
+            o_ref,
+            group_size=group_size,
+            K=K,
+            chunk=chunk,
+        )
+        return
     _group_loop(
         x_ref[:],
         lambda lo, hi: p_ref[lo:hi, :],
@@ -84,12 +146,25 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int):
 
 
 def _kernel_stacked(
-    l_ref, x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int
+    l_ref, x_ref, p_ref, s_ref, z_ref, o_ref, *, group_size: int, K: int,
+    chunk: int = 1,
 ):
     """Stacked-weight variant: blocks carry a leading singleton layer dim
     (the scalar-prefetched layer index selects the layer in the index_map;
     ``l_ref`` itself is unused inside the body)."""
     del l_ref
+    if chunk > 1:
+        _chunk_loop(
+            x_ref[:],
+            lambda lo, hi: p_ref[0, lo:hi, :],
+            lambda a, b: s_ref[0, a:b, :],
+            lambda a, b: z_ref[0, a:b, :],
+            o_ref,
+            group_size=group_size,
+            K=K,
+            chunk=chunk,
+        )
+        return
     _group_loop(
         x_ref[:],
         lambda lo, hi: p_ref[0, lo:hi, :],
@@ -134,7 +209,9 @@ def _kernel_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "tile_m", "tile_n", "interpret", "fused"),
+    static_argnames=(
+        "group_size", "tile_m", "tile_n", "interpret", "fused", "chunk"
+    ),
 )
 def _int4_matmul_2d(
     x: jax.Array,  # [M, K] bf16 (M divisible by tile_m)
@@ -146,14 +223,19 @@ def _int4_matmul_2d(
     tile_n: int,
     interpret: bool = False,
     fused: bool = True,
+    chunk: int = 1,
 ):
     M, K = x.shape
     N = packed.shape[1]
     n_groups = K // group_size
     grid = (M // tile_m, N // tile_n)
 
-    kernel = functools.partial(
-        _kernel_fused if fused else _kernel, group_size=group_size, K=K
+    kernel = (
+        functools.partial(_kernel_fused, group_size=group_size, K=K)
+        if fused
+        else functools.partial(
+            _kernel, group_size=group_size, K=K, chunk=chunk
+        )
     )
     flops = 2 * M * K * N
     bytes_accessed = K // 2 * N + 2 * 4 * n_groups * N + M * K * 2 + M * N * 4
@@ -185,7 +267,7 @@ def _int4_matmul_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "tile_m", "tile_n", "interpret"),
+    static_argnames=("group_size", "tile_m", "tile_n", "interpret", "chunk"),
 )
 def _int4_matmul_2d_stacked(
     x: jax.Array,  # [M, K] bf16 (M divisible by tile_m)
@@ -197,6 +279,7 @@ def _int4_matmul_2d_stacked(
     tile_m: int,
     tile_n: int,
     interpret: bool = False,
+    chunk: int = 1,
 ):
     """Layer-indexed matmul over STACKED weights.
 
@@ -213,7 +296,9 @@ def _int4_matmul_2d_stacked(
     grid = (M // tile_m, N // tile_n)
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
-    kernel = functools.partial(_kernel_stacked, group_size=group_size, K=K)
+    kernel = functools.partial(
+        _kernel_stacked, group_size=group_size, K=K, chunk=chunk
+    )
     flops = 2 * M * K * N
     bytes_accessed = K // 2 * N + 2 * 4 * n_groups * N + M * K * 2 + M * N * 4
     return pl.pallas_call(
@@ -304,6 +389,11 @@ def int4_matmul(
         # fast standalone but participates in the pathological
         # nested-while remote-compile path (see models/transformer.py)
         fused = os.environ.get("DUODEC_INT4_FUSED") == "1"
+    # chunked-group dots (see _chunk_loop): DUODEC_INT4_CHUNK groups per
+    # MXU dot; must divide the group count
+    chunk = int(os.environ.get("DUODEC_INT4_CHUNK", "1"))
+    if chunk < 1 or (K // gs) % chunk:
+        chunk = 1
 
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
@@ -314,10 +404,12 @@ def int4_matmul(
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     if stacked:
         out = _int4_matmul_2d_stacked(
-            x2, packed, scales, zeros, layer, gs, tile_m, tile_n, interpret
+            x2, packed, scales, zeros, layer, gs, tile_m, tile_n, interpret,
+            chunk,
         )
     else:
         out = _int4_matmul_2d(
-            x2, packed, scales, zeros, gs, tile_m, tile_n, interpret, fused
+            x2, packed, scales, zeros, gs, tile_m, tile_n, interpret, fused,
+            chunk,
         )
     return out[:M].reshape(*lead, N)

@@ -132,3 +132,51 @@ def test_stacked_layer_indexed_kernel_matches_reference():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("chunk", [2, 4])
+def test_int4_matmul_chunked_matches_reference(chunk, monkeypatch):
+    """Chunked-group kernel (DUODEC_INT4_CHUNK): fewer, larger MXU dots with
+    per-chunk scale folding + one batched zero-point dot."""
+    monkeypatch.setenv("DUODEC_INT4_CHUNK", str(chunk))
+    key = jax.random.PRNGKey(6)
+    w = jax.random.normal(key, (256, 256), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 256), jnp.bfloat16)
+    q = quantize_int4(w, group_size=32)  # 8 groups
+    ref = int4_matmul_reference(x, q)
+    out = int4_matmul(x, q, interpret=True, fused=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=6e-2, atol=6e-2
+    )
+
+
+def test_int4_matmul_chunked_stacked_matches_reference(monkeypatch):
+    monkeypatch.setenv("DUODEC_INT4_CHUNK", "2")
+    L, K, N, gs = 2, 64, 256, 16
+    key = jax.random.PRNGKey(8)
+    packed = jax.random.randint(key, (L, K // 2, N), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    scales = jax.random.uniform(key, (L, K // gs, N), jnp.float32, 0.01, 0.1)
+    qs = {"packed": packed, "scales": scales, "zeros": -7.5 * scales}
+    x = jax.random.normal(jax.random.PRNGKey(9), (5, K), jnp.float32)
+    for layer in range(L):
+        want = int4_matmul_reference(x, {k: v[layer] for k, v in qs.items()})
+        got = int4_matmul(x, qs, layer=jnp.int32(layer), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=6e-2, atol=6e-2
+        )
+
+
+def test_int4_matmul_chunk_indivisible_falls_back(monkeypatch):
+    """A chunk that does not divide the group count silently degrades to
+    the per-group path (still correct)."""
+    monkeypatch.setenv("DUODEC_INT4_CHUNK", "3")
+    w = jax.random.normal(jax.random.PRNGKey(10), (256, 256), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 256), jnp.bfloat16)
+    q = quantize_int4(w, group_size=32)  # 8 groups, 3 does not divide
+    ref = int4_matmul_reference(x, q)
+    out = int4_matmul(x, q, interpret=True, fused=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
