@@ -273,8 +273,10 @@ def part_a_13b(tiny):
     # optionally a second gamma
     runs = [best]
     # branch-spec trees (engine/tree_loops.py): per-level top-k hedging
-    # raises tokens-per-target-pass past the chain ceiling
-    tree_specs = [(5, 3, 2, 1)] if not tiny else [(3, 1, 1)]
+    # raises tokens-per-target-pass past the chain ceiling. (3,1,1,1) is
+    # the measured-best spec of the round-2 sweep (wider trees gained
+    # accept but lost throughput to draft-lane cache traffic).
+    tree_specs = [(3, 1, 1, 1)] if not tiny else [(3, 1, 1)]
     env_specs = os.environ.get("BENCH_TREE_SPECS")
     if env_specs:
         tree_specs = [
