@@ -57,7 +57,7 @@ from duodecoding_tpu.engine.loops import (
 )
 from duodecoding_tpu.models.config import ModelConfig
 from duodecoding_tpu.models.transformer import forward, set_cache_length
-from duodecoding_tpu.ops.sampling import norm_logits
+from duodecoding_tpu.ops.sampling import norm_logits, top_k_via_argmax
 
 
 class KTreeState(NamedTuple):
@@ -191,7 +191,7 @@ def tree_iteration(
         catch_k = jnp.broadcast_to(catch, (B, CU))
         logits, d_cache = forward(draft_params, draft_cfg, catch_k, d_cache)
         q0 = logits[0, -1, :verify_vocab]  # lanes identical after catch-up
-        _, top0 = jax.lax.top_k(q0, spec[0])
+        _, top0 = top_k_via_argmax(q0, spec[0])
         chain0 = top0[lay.pick[0]].astype(jnp.int32)  # [B]
 
         def draft_step(carry, pick_i):
@@ -199,7 +199,7 @@ def tree_iteration(
             lg, d_cache = forward(
                 draft_params, draft_cfg, last[:, None], d_cache
             )
-            _, topi = jax.lax.top_k(lg[:, -1, :verify_vocab], kmax)  # [B, kmax]
+            _, topi = top_k_via_argmax(lg[:, -1, :verify_vocab], kmax)  # [B, kmax]
             nxt = jnp.take_along_axis(topi, pick_i[:, None], axis=1)[
                 :, 0
             ].astype(jnp.int32)

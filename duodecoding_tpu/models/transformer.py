@@ -173,18 +173,23 @@ def forward(
     positions = start + offsets[None, :]
     positions = jnp.broadcast_to(positions, (B, T))
 
+    # Attention is split into a PREFIX part (cache positions < start, read
+    # via fused scan-xs slices) and a WINDOW part (the T fresh tokens,
+    # held in registers) joined under one softmax. This keeps the fresh
+    # keys/values OUT of the cache read path, so the scan emits only the
+    # [B, T] new rows as ys and the cache buffers are written once after
+    # the scan (dynamic_update_slice of T positions) instead of being
+    # restacked wholesale every forward — at 13B that restack was a full
+    # cache write per step, and for multi-lane tree drafting (B = 16
+    # lanes, engine/tree_loops.py) ~0.5 GB of HBM traffic per draft step.
     k_pos = jnp.arange(S, dtype=jnp.int32)  # [S]
+    mask_pre = k_pos < start  # [S] — prefix visibility (same for all rows)
     if window_mask is None:
-        q_pos = start + offsets  # [T]
-        mask = k_pos[None, :] <= q_pos[:, None]  # [T, S] causal
+        # fresh token j sits at position start + j; query i is at
+        # start + offsets[i] — causal within the window
+        win_mask = jnp.arange(T, dtype=jnp.int32)[None, :] <= offsets[:, None]
     else:
-        # prefix fully visible; intra-window visibility from window_mask
-        prefix_vis = k_pos[None, :] < start  # [T, S]
-        in_window = jnp.zeros((T, S), bool)
-        in_window = jax.lax.dynamic_update_slice(
-            in_window, window_mask.astype(bool), (0, start)
-        )
-        mask = prefix_vis | in_window
+        win_mask = window_mask.astype(bool)  # [T, T] tree ancestors
     scale = cfg.head_dim_**-0.5
     n_rep = cfg.num_heads // cfg.num_kv_heads
 
@@ -287,14 +292,20 @@ def forward(
             gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
             return h + wmm(gate * u, "w_down")
 
-        if quantized_kv:
-            k_codes, k_s = quantize_kv(k)
-            v_codes, v_s = quantize_kv(v)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k_codes, (0, start, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v_codes, (0, start, 0, 0))
-            k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
-            v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
-            if use_flash:
+        if use_flash:
+            # flash kernel reads the UPDATED cache slice (write-then-read);
+            # ys stay full slices on this path
+            if quantized_kv:
+                k_codes, k_s = quantize_kv(k)
+                v_codes, v_s = quantize_kv(v)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_codes, (0, start, 0, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_codes, (0, start, 0, 0)
+                )
+                k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
+                v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
                 from duodecoding_tpu.ops.pallas.flash_decode import (
                     flash_decode_attention,
                 )
@@ -305,53 +316,89 @@ def forward(
                     block_k=flash_block,
                 ).astype(h.dtype)
                 return finish(ctx, h), (k_cache, v_cache, k_sc, v_sc)
-            k_eff = dequantize_kv(k_cache, k_sc, h.dtype)
-            v_eff = dequantize_kv(v_cache, v_sc, h.dtype)
-        else:
             k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
-            k_eff, v_eff = k_cache, v_cache
-            if use_flash:
-                from duodecoding_tpu.ops.pallas.flash_decode import (
-                    flash_decode_attention,
-                )
+            from duodecoding_tpu.ops.pallas.flash_decode import (
+                flash_decode_attention,
+            )
 
-                ctx = flash_decode_attention(
-                    q, k_eff, v_eff, start, block_k=flash_block
-                ).astype(h.dtype)
-                return finish(ctx, h), (k_cache, v_cache)
+            ctx = flash_decode_attention(
+                q, k_cache, v_cache, start, block_k=flash_block
+            ).astype(h.dtype)
+            return finish(ctx, h), (k_cache, v_cache)
+
+        # dense path: prefix (cache) and window (fresh) attention under one
+        # softmax; the cache is read-only here (fused xs slice) and the
+        # fresh rows return as small ys
+        if quantized_kv:
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            # window keys/values round-trip through int8 so the math is
+            # identical to reading them back from the quantized cache
+            k_win = dequantize_kv(k_codes, k_s, h.dtype)
+            v_win = dequantize_kv(v_codes, v_s, h.dtype)
+            k_pre = dequantize_kv(k_cache, k_sc, h.dtype)
+            v_pre = dequantize_kv(v_cache, v_sc, h.dtype)
+            ys_out = (k_codes, v_codes, k_s, v_s)
+        else:
+            k_win, v_win = k, v
+            k_pre, v_pre = k_cache, v_cache
+            ys_out = (k, v)
 
         # GQA: group query heads over kv heads; MXU matmuls with f32 accum
         qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
-        scores = jnp.einsum(
-            "btgrd,bsgd->bgrts",
-            qg,
-            k_eff,
+        scores_pre = jnp.einsum(
+            "btgrd,bsgd->bgrts", qg, k_pre,
             preferred_element_type=jnp.float32,
         ) * scale
-        scores = jnp.where(mask[None, None, None, :, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum(
-            "bgrts,bsgd->btgrd",
-            probs.astype(v_eff.dtype),
-            v_eff,
+        scores_win = jnp.einsum(
+            "btgrd,bwgd->bgrtw", qg, k_win,
             preferred_element_type=jnp.float32,
+        ) * scale
+        scores_pre = jnp.where(
+            mask_pre[None, None, None, None, :], scores_pre, -1e30
+        )
+        scores_win = jnp.where(
+            win_mask[None, None, None, :, :], scores_win, -1e30
+        )
+        probs = jax.nn.softmax(
+            jnp.concatenate([scores_pre, scores_win], axis=-1), axis=-1
+        )
+        pv = probs.astype(v_pre.dtype)
+        ctx = (
+            jnp.einsum(
+                "bgrts,bsgd->btgrd", pv[..., :S], v_pre,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "bgrtw,bwgd->btgrd", pv[..., S:], v_win,
+                preferred_element_type=jnp.float32,
+            )
         ).astype(h.dtype)
         h = finish(ctx.reshape(B, T, cfg.num_heads, cfg.head_dim_), h)
-        if quantized_kv:
-            return h, (k_cache, v_cache, k_sc, v_sc)
-        return h, (k_cache, v_cache)
+        return h, ys_out
 
     idxs = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     # shallow (draft-slice) models: unroll the layer loop — removes the
     # scan's per-layer xs/ys bookkeeping and lets XLA schedule across layer
     # boundaries; deep models stay rolled (compile time at 13B depth)
     unroll = cfg.num_layers if cfg.num_layers <= 4 else 1
+
+    def write_rows(buf, rows):
+        # rows [L, B, T, ...] -> one in-place window write into the cache
+        idx = (0, 0, start) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, rows, idx)
+
     if quantized_kv:
         xs = (idxs, arr_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
         h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             layer_fn, h, xs, unroll=unroll
         )
+        if not use_flash:  # dense path: ys are the [L, B, T] fresh rows
+            new_k = write_rows(cache.k, new_k)
+            new_v = write_rows(cache.v, new_v)
+            new_ks = write_rows(cache.k_scale, new_ks)
+            new_vs = write_rows(cache.v_scale, new_vs)
         new_cache = QuantKVCache(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
         )
@@ -359,6 +406,9 @@ def forward(
         h, (new_k, new_v) = jax.lax.scan(
             layer_fn, h, (idxs, arr_layers, cache.k, cache.v), unroll=unroll
         )
+        if not use_flash:
+            new_k = write_rows(cache.k, new_k)
+            new_v = write_rows(cache.v, new_v)
         new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]

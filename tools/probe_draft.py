@@ -41,8 +41,19 @@ def main():
     dcfg, dp = truncate_model(cfg, tp, 3)
     S = 512
 
-    batches = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 16]
-    for B in batches:
+    # variants: "B[:S[:samp]]" with samp in {argmax, topk4, laxtopk4, none}
+    variants = []
+    for a in sys.argv[1:]:
+        if a == "nofuse":
+            continue
+        parts = a.split(":")
+        B = int(parts[0])
+        vS = int(parts[1]) if len(parts) > 1 else S
+        samp = parts[2] if len(parts) > 2 else "argmax"
+        variants.append((B, vS, samp))
+    if not variants:
+        variants = [(1, S, "argmax"), (16, S, "argmax")]
+    for B, S, samp in variants:
         cache0 = init_cache(dcfg, B, S)
         # warm the cache to a realistic decode position
         warm = jnp.ones((B, 64), jnp.int32)
@@ -57,7 +68,20 @@ def main():
                     tok = (i % 1000 + 1).astype(jnp.int32)
                     toks = jnp.full((B, 1), tok, jnp.int32)
                     lg, cache = forward(dp, dcfg, toks, cache)
-                    nxt = jnp.argmax(lg[:, -1, :], axis=-1)
+                    if samp == "topk4":
+                        from duodecoding_tpu.ops.sampling import (
+                            top_k_via_argmax,
+                        )
+
+                        _, topi = top_k_via_argmax(lg[:, -1, :32000], 4)
+                        nxt = topi[:, 0]
+                    elif samp == "laxtopk4":
+                        _, topi = jax.lax.top_k(lg[:, -1, :32000], 4)
+                        nxt = topi[:, 0]
+                    elif samp == "none":
+                        nxt = lg[:, -1, 0].astype(jnp.int32)
+                    else:
+                        nxt = jnp.argmax(lg[:, -1, :], axis=-1)
                     best = jnp.maximum(best, jnp.max(nxt))
                     # keep the cache length fixed so every step costs the same
                     cache = set_cache_length(cache, 64)
