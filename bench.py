@@ -404,10 +404,10 @@ def part_b_dssd(tiny):
 
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
-    # flash decode attention gains nothing at the bench's S=256 caches and
-    # multiplies the remote-compile time of the big nested decode programs;
-    # it stays validated standalone (tests + 16K-context on-chip runs)
-    os.environ.setdefault("DUODEC_NO_FLASH", "1")
+    # flash decode self-gates: the stacked kernel engages only for B>=2
+    # forwards (tree-draft lanes — where the dense einsum measured ~5x raw
+    # cache bandwidth), so B=1 chain/nested modes keep their proven dense
+    # path and compile times (models/transformer.py gating)
     # persistent compilation cache: the 13B nested decode programs cost
     # minutes each on the remote compiler; cache them across runs
     try:

@@ -57,6 +57,15 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     else:
         spec = (int(tree_k),) + (1,) * (gamma - 1)
     lanes = int(np.prod(spec))
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+
+    n_rows = len(spec_layout(spec).offsets)  # verify rows incl. root
+    if L + cfg.max_tokens + n_rows > cfg.max_seq_len:
+        raise ValueError(
+            f"sd_tree spec {spec} verifies {n_rows} rows per iteration: "
+            f"prompt ({L}) + max_tokens ({cfg.max_tokens}) + {n_rows} "
+            f"exceeds max_seq_len ({cfg.max_seq_len})"
+        )
     if L < gamma + 2:
         raise ValueError(
             f"sd_tree needs prompt_len >= gamma + 2 (catch-up rewind); "

@@ -139,22 +139,6 @@ def spec_layout(spec: tuple[int, ...]) -> TreeLayout:
     )
 
 
-def _relocate_row(cache, src, dst):
-    """Move one sequence row (axis 2) from ``src`` to ``dst`` in every
-    cache buffer — the per-row form of the medusa KV gather (reference
-    src/model/medusa/utils.py:274ff evaluate_posterior + cache reorder),
-    as pure index bookkeeping."""
-
-    def move(a):
-        sl = jax.lax.dynamic_slice_in_dim(a, src, 1, axis=2)
-        return jax.lax.dynamic_update_slice_in_dim(a, sl, dst, axis=2)
-
-    fields = {
-        f: move(getattr(cache, f)) for f in cache._fields if f != "length"
-    }
-    return cache._replace(**fields)
-
-
 def tree_iteration(
     draft_params,
     target_params,
@@ -259,15 +243,33 @@ def tree_iteration(
     # --- caches -----------------------------------------------------------
     # target: the winning lane's verified rows sit at scattered tree
     # positions start+win_rows[i]; move them to linear positions start+1+i
-    # then restore the lag-1 invariant (length = n_new - 1). Row order is
-    # safe: win_rows[i] >= i+1 (see spec_layout), so writing row i+1 never
-    # clobbers a source row j>i still to be read.
+    # then restore the lag-1 invariant (length = n_new - 1). One gather
+    # over the T-row verify window per cache buffer (the earlier
+    # per-row dynamic_slice/update chain was 4*gamma sequential ops);
+    # reading the PRE-move window is equivalent to the sequential
+    # relocation because win_rows[i] >= i+1 (see spec_layout), so a
+    # source row is never a destination row that was already written.
     start = n - 1
     if "norelocate" not in probe:
-        for i in range(gamma):
-            t_cache = _relocate_row(
-                t_cache, start + win_rows[i], start + 1 + i
+        perm = (
+            jnp.arange(T, dtype=jnp.int32)
+            .at[1 : gamma + 1]
+            .set(win_rows)
+        )
+
+        def move(a):
+            win = jax.lax.dynamic_slice_in_dim(a, start, T, axis=2)
+            return jax.lax.dynamic_update_slice_in_dim(
+                a, jnp.take(win, perm, axis=2), start, axis=2
             )
+
+        t_cache = t_cache._replace(
+            **{
+                f: move(getattr(t_cache, f))
+                for f in t_cache._fields
+                if f != "length"
+            }
+        )
     t_cache = set_cache_length(t_cache, n_new - 1)
     # draft lanes are rewound and re-synced next iteration; only the length
     # bookkeeping matters (it must stay >= n_new - CU, which holds: lanes

@@ -200,7 +200,7 @@ def forward(
     from duodecoding_tpu.ops.pallas.flash_decode import pick_flash_block
 
     flash_block = pick_flash_block(S, cfg.num_kv_heads, cfg.head_dim_)
-    use_flash = (
+    flash_ok = (
         window_mask is None
         and position_offsets is None
         and T * n_rep <= 128
@@ -208,18 +208,31 @@ def forward(
         and jax.default_backend() == "tpu"
         # at B=1 on short caches the dense masked path beats the kernel's
         # fixed cost (measured: 1.24 vs 1.50 ms on a 3-layer draft step at
-        # S=256); flash wins from B>=2 or once the cache is long enough
-        # that O(valid) traffic matters
-        and (B * T >= 2 or S > 512)
+        # S=256); flash wins from B>=2 (tree-draft lanes: the dense einsum
+        # measured ~5x raw cache bandwidth at 16 lanes, and the stacked
+        # kernel took the B=16 draft forward 4.9 -> 1.7 ms) or once the
+        # cache is long enough that O(valid) traffic matters. B=1 keeps
+        # dense also to stay OUT of the nested-while modes' compile path
+        # (dssd/cee catch-up forwards are B=1, T=2).
+        and (B >= 2 or S > 2048)
         and os.environ.get("DUODEC_NO_FLASH") != "1"
-        # int8-flash: correct (unit + on-chip validated incl. inside plain
-        # while_loops, T in {1,2,5}) but the COMPOSITION of its pallas
-        # instances inside the engine's nested while/cond decode programs
-        # hits a pathological remote-compile path (>15 min); keep the
-        # fused dense-dequant route as the in-loop default and use the
-        # kernel for single-dispatch (serving) contexts
-        and (not quantized_kv or os.environ.get("DUODEC_INT8_FLASH") == "1")
     )
+    # int8-flash: correct (unit + on-chip validated incl. inside plain
+    # while_loops, T in {1,2,5}) but the COMPOSITION of its pallas
+    # instances inside the engine's nested while/cond decode programs
+    # hits a pathological remote-compile path (>15 min); keep the
+    # fused dense-dequant route as the in-loop default and use the
+    # kernel for single-dispatch (serving) contexts
+    use_flash = (
+        flash_ok
+        and quantized_kv
+        and os.environ.get("DUODEC_INT8_FLASH") == "1"
+    )
+    # bf16 caches use the STACKED kernel (whole cache + scalar-prefetched
+    # layer index + fresh-window operands): zero-copy layer reads, O(valid)
+    # traffic, no in-scan cache writes (ops/pallas/flash_decode.py
+    # ::flash_decode_stacked)
+    use_stacked_flash = flash_ok and not quantized_kv
 
     # INT4-quantized weights (dicts of stacked [L, ...] leaves) are NOT fed
     # through scan xs: a pallas call cannot consume a scan-sliced operand
@@ -246,6 +259,9 @@ def forward(
     def layer_fn(h, xs):
         if quantized_kv:
             idx, lp, k_cache, v_cache, k_sc, v_sc = xs
+        elif use_stacked_flash:
+            idx, lp = xs  # cache read via the stacked kernel (closure)
+            k_cache = v_cache = None
         else:
             idx, lp, k_cache, v_cache = xs
 
@@ -327,6 +343,17 @@ def forward(
             ).astype(h.dtype)
             return finish(ctx, h), (k_cache, v_cache)
 
+        if use_stacked_flash:
+            from duodecoding_tpu.ops.pallas.flash_decode import (
+                flash_decode_stacked,
+            )
+
+            ctx = flash_decode_stacked(
+                q, cache.k, cache.v, k, v, start, idx,
+                block_k=flash_block,
+            ).astype(h.dtype)
+            return finish(ctx, h), (k, v)
+
         # dense path: prefix (cache) and window (fresh) attention under one
         # softmax; the cache is read-only here (fused xs slice) and the
         # fresh rows return as small ys
@@ -403,9 +430,12 @@ def forward(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
         )
     else:
-        h, (new_k, new_v) = jax.lax.scan(
-            layer_fn, h, (idxs, arr_layers, cache.k, cache.v), unroll=unroll
+        xs = (
+            (idxs, arr_layers)
+            if use_stacked_flash
+            else (idxs, arr_layers, cache.k, cache.v)
         )
+        h, (new_k, new_v) = jax.lax.scan(layer_fn, h, xs, unroll=unroll)
         if not use_flash:
             new_k = write_rows(cache.k, new_k)
             new_v = write_rows(cache.v, new_v)

@@ -211,6 +211,195 @@ def flash_decode_attention(
     )
 
 
+def _kernel_stacked(
+    nb_ref,  # scalar prefetch: [1] int32 — number of valid KV blocks
+    ln_ref,  # scalar prefetch: [1] int32 — cache length (prefix only)
+    lidx_ref,  # scalar prefetch: [1] int32 — layer index (used in index_map)
+    q_ref,  # [1, Hkv, RT, D]
+    k_ref,  # [1, 1, block_k, Hkv, D] — layer block of the stacked cache
+    v_ref,  # [1, 1, block_k, Hkv, D]
+    kn_ref,  # [1, T, Hkv, D] — the window's FRESH keys (not yet cached)
+    vn_ref,  # [1, T, Hkv, D]
+    o_ref,  # [1, Hkv, RT, D]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    block_k: int,
+    T: int,
+    scale: float,
+):
+    del lidx_ref
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    Hkv = q_ref.shape[1]
+    RT = q_ref.shape[2]
+    RTp = _rt_pad(RT)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # prefix blocks: every window row sees the whole valid prefix
+    # (positions < length), so visibility is row-independent. Skipped
+    # entirely for an empty prefix (an all-masked block would poison the
+    # online softmax: exp(NEG_INF - NEG_INF) = 1).
+    @pl.when((j < nb_ref[0]) & (ln_ref[0] > 0))
+    def _block():
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (RT, block_k), 1
+        )
+        visible = k_pos < ln_ref[0]  # [RT, block_k]
+
+        for h in range(Hkv):
+            q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
+            k = k_ref[0, 0, :, h].astype(jnp.float32)  # [block_k, D]
+            v = v_ref[0, 0, :, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(visible, s, NEG_INF)
+
+            a, b = h * RTp, h * RTp + RT
+            m_prev = m_scr[a:b, :1]
+            l_prev = l_scr[a:b, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_scr[a:b, :] = jnp.broadcast_to(
+                alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
+                (RT, l_scr.shape[1]),
+            )
+            acc_scr[a:b, :] = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[a:b, :] = jnp.broadcast_to(m_next, (RT, m_scr.shape[1]))
+
+    # window block (the T fresh tokens, causal within the window) + output
+    @pl.when(j == nj - 1)
+    def _finalize():
+        t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 0) % T
+        w_col = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 1)
+        visible = w_col <= t_row  # fresh token t sees window cols <= t
+        for h in range(Hkv):
+            q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
+            kw = kn_ref[0, :, h].astype(jnp.float32)  # [T, D]
+            vw = vn_ref[0, :, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, kw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(visible, s, NEG_INF)
+
+            a, b = h * RTp, h * RTp + RT
+            m_prev = m_scr[a:b, :1]
+            l_prev = l_scr[a:b, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
+                p, vw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, h] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode_stacked(
+    q: jax.Array,  # [B, T, H, D]
+    k_all: jax.Array,  # [L, B, S, Hkv, D] — the WHOLE stacked cache
+    v_all: jax.Array,  # [L, B, S, Hkv, D]
+    k_new: jax.Array,  # [B, T, Hkv, D] — fresh window keys (post-rope)
+    v_new: jax.Array,  # [B, T, Hkv, D]
+    length: jax.Array,  # scalar int32 — valid prefix positions
+    layer: jax.Array,  # scalar int32 — layer index into the stacked cache
+    *,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-indexed flash decode attention over a STACKED cache plus the
+    window's fresh keys/values, under one online softmax.
+
+    Two traps this kills at once (both measured on-chip, CLAUDE.md):
+    - a pallas call consuming a scan-sliced cache forces XLA to
+      MATERIALISE the slice (a full per-layer cache copy per call — ~1 GB
+      per draft forward at 16 tree lanes); the whole stack + a
+      scalar-prefetched layer index DMAs layer blocks zero-copy, the same
+      pattern as ops/pallas/int4_matmul.py::_int4_matmul_2d_stacked;
+    - keeping the fresh window OUT of the cache means the layer scan
+      writes the cache once per forward (models/transformer.py
+      write_rows) instead of restacking it, and the kernel reads only
+      ceil(length/block_k) blocks — O(valid) HBM traffic.
+
+    Returns [B, T, H, D] in q.dtype.
+    """
+    B, T, H, D = q.shape
+    S = k_all.shape[2]
+    Hkv = k_all.shape[3]
+    rep = H // Hkv
+    RT = rep * T
+    block_k = min(block_k, S)
+    if S % block_k:
+        raise ValueError(f"S={S} must be divisible by block_k={block_k}")
+    scale = D**-0.5
+
+    qg = q.reshape(B, T, Hkv, rep, D).transpose(0, 2, 3, 1, 4).reshape(
+        B, Hkv, RT, D
+    )
+    length = jnp.asarray(length, jnp.int32)
+    n_blocks = jnp.maximum((length + block_k - 1) // block_k, 1)
+    layer = jnp.asarray(layer, jnp.int32)
+    RTp = _rt_pad(RT)
+
+    def q_map(b, j, nb, ln, l):
+        return (b, 0, 0, 0)
+
+    def kv_map(b, j, nb, ln, l):
+        return (l[0], b, jnp.minimum(j, nb[0] - 1), 0, 0)
+
+    def w_map(b, j, nb, ln, l):
+        return (b, 0, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_stacked, block_k=block_k, T=T, scale=scale
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, S // block_k),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, RT, D), q_map),
+                pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
+                pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
+                pl.BlockSpec((1, T, Hkv, D), w_map),
+                pl.BlockSpec((1, T, Hkv, D), w_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hkv, RT, D), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
+                pltpu.VMEM((Hkv * RTp, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),
+        interpret=interpret,
+    )(
+        n_blocks.reshape(1), length.reshape(1), layer.reshape(1),
+        qg, k_all, v_all, k_new, v_new,
+    )
+
+    return out.reshape(B, Hkv, rep, T, D).transpose(0, 3, 1, 2, 4).reshape(
+        B, T, H, D
+    )
+
+
 def pick_flash_block(S: int, Hkv: int, D: int) -> int:
     """Largest block_k dividing S whose K+V VMEM footprint (double
     buffered) stays within ~6 MB."""

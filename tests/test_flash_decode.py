@@ -86,3 +86,45 @@ def test_flash_int8_matches_dequant_dense():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
     )
+
+
+class TestStackedFlash:
+    """flash_decode_stacked: layer-indexed stacked cache + fused fresh
+    window vs the dense reference with the window written into the cache."""
+
+    @pytest.mark.parametrize(
+        "L,B,T,H,Hkv,D,S,length,block_k,layer",
+        [
+            (2, 1, 1, 4, 2, 64, 256, 17, 128, 1),  # plain decode, GQA
+            (3, 8, 1, 4, 4, 64, 512, 200, 128, 2),  # tree lanes, MHA
+            (2, 2, 6, 4, 2, 64, 256, 40, 128, 0),  # catch-up window
+            (2, 1, 3, 4, 2, 64, 256, 0, 128, 1),  # empty prefix (prefill)
+            (2, 1, 1, 8, 2, 64, 512, 300, 128, 0),  # rep=4
+            (2, 1, 2, 4, 2, 64, 256, 128, 128, 1),  # length at block edge
+            (2, 1, 1, 4, 2, 64, 256, 255, 128, 0),  # nearly full cache
+        ],
+    )
+    def test_matches_dense(self, L, B, T, H, Hkv, D, S, length, block_k, layer):
+        from duodecoding_tpu.ops.pallas.flash_decode import (
+            flash_decode_stacked,
+        )
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        k_all = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        v_all = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        k_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        # stale tail (incl. the window slots) must not leak
+        k_all = k_all.at[:, :, length:].set(1e3)
+        v_all = v_all.at[:, :, length:].set(-1e3)
+        out = flash_decode_stacked(
+            q, k_all, v_all, k_new, v_new, jnp.int32(length),
+            jnp.int32(layer), block_k=block_k, interpret=True,
+        )
+        kc = k_all[layer].at[:, length : length + T].set(k_new)
+        vc = v_all[layer].at[:, length : length + T].set(v_new)
+        ref = flash_decode_reference(q, kc, vc, jnp.int32(length))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
