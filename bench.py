@@ -273,10 +273,14 @@ def part_a_13b(tiny):
     # optionally a second gamma
     runs = [best]
     # branch-spec trees (engine/tree_loops.py): per-level top-k hedging
-    # raises tokens-per-target-pass past the chain ceiling. (3,1,1,1) is
-    # the measured-best spec of the round-2 sweep (wider trees gained
-    # accept but lost throughput to draft-lane cache traffic).
-    tree_specs = [(3, 1, 1, 1)] if not tiny else [(3, 1, 1)]
+    # raises tokens-per-target-pass past the chain ceiling. The round-2
+    # on-chip sweep (tools/profile_iter.py) found deep narrow trees best
+    # once the stacked flash kernel made extra draft lanes ~free:
+    # (3,2,1,1,1,1) and (4,2,1,1,1,1) measured 189-191 tok/s loop speed
+    # (6.0 tokens/verify) vs 127 for the round-2-early (3,1,1,1).
+    tree_specs = (
+        [(3, 2, 1, 1, 1, 1), (4, 2, 1, 1, 1, 1)] if not tiny else [(3, 1, 1)]
+    )
     env_specs = os.environ.get("BENCH_TREE_SPECS")
     if env_specs:
         tree_specs = [

@@ -364,12 +364,21 @@ def forward(
             # identical to reading them back from the quantized cache
             k_win = dequantize_kv(k_codes, k_s, h.dtype)
             v_win = dequantize_kv(v_codes, v_s, h.dtype)
-            k_pre = dequantize_kv(k_cache, k_sc, h.dtype)
-            v_pre = dequantize_kv(v_cache, v_sc, h.dtype)
+            # prefix: scales factor OUT of the attention dots exactly —
+            # sum_d q_d (c_d * sigma_s) = sigma_s * sum_d q_d c_d — so K
+            # scales fold into score columns and V scales into probability
+            # rows; a dequantized bf16 cache copy never materialises
+            # (~840 MB/step of saved HBM traffic at 13B, the same folding
+            # the int8-flash kernel does in-VMEM)
+            k_pre = k_cache.astype(h.dtype)
+            v_pre = v_cache.astype(h.dtype)
+            k_colscale = jnp.moveaxis(k_sc, -1, 1)[:, :, None, None, :]
+            v_rowscale = jnp.moveaxis(v_sc, -1, 1)[:, :, None, None, :]
             ys_out = (k_codes, v_codes, k_s, v_s)
         else:
             k_win, v_win = k, v
             k_pre, v_pre = k_cache, v_cache
+            k_colscale = v_rowscale = None
             ys_out = (k, v)
 
         # GQA: group query heads over kv heads; MXU matmuls with f32 accum
@@ -378,6 +387,8 @@ def forward(
             "btgrd,bsgd->bgrts", qg, k_pre,
             preferred_element_type=jnp.float32,
         ) * scale
+        if k_colscale is not None:
+            scores_pre = scores_pre * k_colscale
         scores_win = jnp.einsum(
             "btgrd,bwgd->bgrtw", qg, k_win,
             preferred_element_type=jnp.float32,
@@ -391,14 +402,17 @@ def forward(
         probs = jax.nn.softmax(
             jnp.concatenate([scores_pre, scores_win], axis=-1), axis=-1
         )
-        pv = probs.astype(v_pre.dtype)
+        p_pre = probs[..., :S]
+        if v_rowscale is not None:
+            p_pre = p_pre * v_rowscale
         ctx = (
             jnp.einsum(
-                "bgrts,bsgd->btgrd", pv[..., :S], v_pre,
+                "bgrts,bsgd->btgrd", p_pre.astype(v_pre.dtype), v_pre,
                 preferred_element_type=jnp.float32,
             )
             + jnp.einsum(
-                "bgrtw,bwgd->btgrd", pv[..., S:], v_win,
+                "bgrtw,bwgd->btgrd",
+                probs[..., S:].astype(v_win.dtype), v_win,
                 preferred_element_type=jnp.float32,
             )
         ).astype(h.dtype)

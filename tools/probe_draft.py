@@ -55,14 +55,20 @@ def main():
         variants = [(1, S, "argmax"), (16, S, "argmax")]
     for B, S, samp in variants:
         cache0 = init_cache(dcfg, B, S)
-        # warm the cache to a realistic decode position
+        # warm the cache to a realistic decode position (jitted: eager
+        # forward would dispatch hundreds of remote ops)
         warm = jnp.ones((B, 64), jnp.int32)
-        _, cache0 = forward(dp, dcfg, warm, cache0)
+        _, cache0 = jax.jit(forward, static_argnames=("cfg",))(
+            dp, dcfg, warm, cache0
+        )
         jax.block_until_ready(cache0.k)
 
         def make(n_steps):
+            # COMPILE-PROBE TRAP (CLAUDE.md): params/cache must be real
+            # arguments — capturing them as jit constants compiles 30-60x
+            # slower on the remote backend
             @jax.jit
-            def run(cache):
+            def run(dp, cache):
                 def step(carry, i):
                     best, cache = carry
                     tok = (i % 1000 + 1).astype(jnp.int32)
@@ -98,17 +104,18 @@ def main():
         for n in (32, 128):
             run = make(n)
             t0 = time.time()
-            int(run(cache0))  # compile + first run
-            print(f"  B={B} n={n}: compile+run {time.time()-t0:.1f}s",
-                  flush=True)
+            int(run(dp, cache0))  # compile + first run
+            print(f"  B={B} S={S} {samp} n={n}: compile+run "
+                  f"{time.time()-t0:.1f}s", flush=True)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                int(run(cache0))
+                int(run(dp, cache0))
                 best = min(best, time.perf_counter() - t0)
             outs[n] = best
         per = (outs[128] - outs[32]) / (128 - 32)
-        print(f"B={B}: draft step {per*1e3:.3f} ms/forward", flush=True)
+        print(f"B={B} S={S} {samp}: draft step {per*1e3:.3f} ms/forward",
+              flush=True)
 
 
 if __name__ == "__main__":
