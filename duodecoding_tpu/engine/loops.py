@@ -150,7 +150,7 @@ class ARState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids"),
+    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_len"),
     donate_argnames=("tokens", "cache"),
 )
 def ar_generate(
@@ -164,9 +164,17 @@ def ar_generate(
     sampling: SamplingConfig,
     max_new_tokens: int,
     eos_ids: tuple[int, ...] = (),
+    prefill_len: int | None = None,
 ):
     """Vanilla AR decode with KV cache (reference src/engine.py:549-608),
-    whole generation in one while_loop."""
+    whole generation in one while_loop.
+
+    With ``prefill_len`` the prompt prefill runs INSIDE this program
+    (``cache`` comes in empty): each dispatch is a ~27 ms RPC round trip
+    on the remote backend, so fusing prefill+decode into one dispatch is
+    a direct per-run saving."""
+    if prefill_len is not None:
+        cache = prefill(params, cfg, cache, tokens[:, :prefill_len])
     limit = n_tokens + max_new_tokens
 
     def cond(s: ARState):
@@ -526,6 +534,7 @@ def init_sd_records(max_iters: int) -> SDRecords:
         "rebuild_top_k",
         "max_new_tokens",
         "eos_ids",
+        "prefill_len",
     ),
     donate_argnums=(2, 4, 5),
 )
@@ -546,11 +555,22 @@ def sd_generate(
     rebuild_top_k: int | None = None,
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
+    prefill_len: int | None = None,
 ):
     """Full speculative-decoding generation on device.
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
+    With ``prefill_len`` both tiers' prompt prefills run INSIDE this
+    program (caches come in empty) — one dispatch per generation instead
+    of three (each is a ~27 ms RPC round trip on the remote backend).
     """
+    if prefill_len is not None:
+        draft_cache = prefill(
+            draft_params, draft_cfg, draft_cache, tokens[:, :prefill_len]
+        )
+        target_cache = prefill(
+            target_params, target_cfg, target_cache, tokens[:, :prefill_len]
+        )
     limit = n_tokens + max_new_tokens
     max_iters = max_new_tokens  # worst case: 1 token per iteration
 

@@ -10,7 +10,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from duodecoding_tpu.engine.loops import ar_generate, prefill
+from duodecoding_tpu.engine.loops import ar_generate
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.registry import register_mode
 
@@ -24,7 +24,7 @@ def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, 
     eos = cfg.eos_ids if use_early_stopping else ()
 
     with Stopwatch() as sw:
-        cache = prefill(tier.params, tier.cfg, cache, tokens[:, :L])
+        # prefill runs INSIDE ar_generate (prefill_len): one dispatch
         out_tokens, n, _, steps = ar_generate(
             tier.params,
             cfg=tier.cfg,
@@ -35,6 +35,7 @@ def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, 
             sampling=engine.sampling,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
+            prefill_len=L,
         )
         block(out_tokens, n)
 

@@ -8,7 +8,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from duodecoding_tpu.engine.loops import prefill, sd_generate
+from duodecoding_tpu.engine.loops import sd_generate
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 
 TOKEN_BYTES = 8  # reference token tensors are torch.long (8 B/elem)
@@ -69,8 +69,7 @@ def run_sd_loop(
     t_cache = engine.new_cache(target)
 
     with Stopwatch() as sw:
-        d_cache = prefill(draft.params, draft.cfg, d_cache, tokens[:, :L])
-        t_cache = prefill(target.params, target.cfg, t_cache, tokens[:, :L])
+        # prefills run INSIDE sd_generate (prefill_len): one dispatch
         out_tokens, n, records, iters, d_steps, t_steps = sd_generate(
             draft.params,
             target.params,
@@ -87,6 +86,7 @@ def run_sd_loop(
             rebuild_top_k=rebuild_top_k,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
+            prefill_len=L,
         )
         block(out_tokens, n)
 

@@ -40,7 +40,6 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     ``tree_k`` alone = fork width for the k-chain special case
     ``(tree_k, 1, ..., 1)`` over ``gamma`` levels."""
     from duodecoding_tpu.engine.engine import Stopwatch, block
-    from duodecoding_tpu.engine.loops import prefill
 
     cfg = engine.config
     if cfg.temperature != 0.0:
@@ -77,13 +76,7 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     t_cache = engine.new_cache(target)
 
     with Stopwatch() as sw:
-        d_cache = prefill(
-            draft.params,
-            draft.cfg,
-            d_cache,
-            jnp.broadcast_to(tokens[:, :L], (lanes, L)),
-        )
-        t_cache = prefill(target.params, target.cfg, t_cache, tokens[:, :L])
+        # prefills run INSIDE tree_generate (prefill_len): one dispatch
         out_tokens, n, records, iters, d_steps, t_steps = tree_generate(
             draft.params,
             target.params,
@@ -96,6 +89,7 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
             spec=spec,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
+            prefill_len=L,
         )
         block(out_tokens, n)
 

@@ -312,6 +312,7 @@ def tree_iteration(
         "spec",
         "max_new_tokens",
         "eos_ids",
+        "prefill_len",
     ),
     donate_argnums=(2, 4, 5),
 )
@@ -328,11 +329,29 @@ def tree_generate(
     spec: tuple[int, ...],
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
+    prefill_len: int | None = None,
 ):
     """Full branch-spec tree-SD generation on device (greedy).
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
+    With ``prefill_len`` both tiers' prompt prefills run INSIDE this
+    program (caches come in empty; the draft prefill broadcasts the
+    prompt over the lanes) — one dispatch per generation instead of
+    three (each is a ~27 ms RPC round trip on the remote backend).
     """
+    if prefill_len is not None:
+        from duodecoding_tpu.engine.loops import prefill
+
+        lanes = draft_cache.k.shape[1]
+        draft_cache = prefill(
+            draft_params,
+            draft_cfg,
+            draft_cache,
+            jnp.broadcast_to(tokens[:, :prefill_len], (lanes, prefill_len)),
+        )
+        target_cache = prefill(
+            target_params, target_cfg, target_cache, tokens[:, :prefill_len]
+        )
     limit = n_tokens + max_new_tokens
 
     def cond(s: KTreeState):
