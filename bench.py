@@ -279,7 +279,7 @@ def part_a_13b(tiny):
     # (3,2,1,1,1,1) and (4,2,1,1,1,1) measured 189-191 tok/s loop speed
     # (6.0 tokens/verify) vs 127 for the round-2-early (3,1,1,1).
     tree_specs = (
-        [(3, 2, 1, 1, 1, 1), (4, 2, 1, 1, 1, 1)] if not tiny else [(3, 1, 1)]
+        [(3, 2, 1, 1, 1, 1), (3, 2, 1, 1, 1, 1, 1)] if not tiny else [(3, 1, 1)]
     )
     env_specs = os.environ.get("BENCH_TREE_SPECS")
     if env_specs:
