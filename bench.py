@@ -435,8 +435,10 @@ def main():
     if os.environ.get("BENCH_SKIP_DSSD") != "1":
         details["dssd_baseline_row"] = part_b_dssd(tiny)
 
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "BENCH_DETAILS.json"), "w") as f:
+    # tiny (CPU smoke) runs write a SEPARATE file: a smoke must never
+    # clobber the real on-chip artifact
+    name = "BENCH_DETAILS_TINY.json" if tiny else "BENCH_DETAILS.json"
+    with open(os.path.join(os.path.dirname(__file__) or ".", name), "w") as f:
         json.dump(details, f, indent=2)
 
     a = details.get("speedup_13b")
