@@ -115,6 +115,41 @@ def prefill_step(params, cfg: ModelConfig, cache: KVCache, tokens: jax.Array):
     return cache
 
 
+def prefill_plan_for(
+    length: int, cap: int | None = None, max_chunk: int = 512
+) -> tuple[int, ...]:
+    """STATIC chunk plan covering a ``length``-token prompt's lag-1 prefill.
+
+    The plan — not the exact length — is what the fused generate programs
+    specialise on: every prompt length whose (power-of-two-padded) plan
+    matches shares ONE compiled program, fixing the per-prompt-length
+    recompile (5-12 min each for the 13B nested decode programs on the
+    remote backend) that an exact static prefill_len caused. Lengths
+    bucket at powers of two: L in (33, 65] -> plan (64,), etc.
+    """
+    return tuple(prefill_chunk_sizes(length - 1, max_chunk, cap))
+
+
+def prefill_by_plan(
+    params, cfg: ModelConfig, cache, tokens: jax.Array,
+    plan: tuple[int, ...], n_tokens: jax.Array,
+):
+    """Prefill driven by a static ``plan`` + TRACED token count.
+
+    Processes ``sum(plan) >= n_tokens - 1`` buffer positions in
+    static-shape chunks; positions at/beyond ``n_tokens - 1`` are buffer
+    padding whose KV rows land past the clamped final length (the same
+    staleness contract as the padded tail in ``prefill``/rollback). The
+    final cache length is the traced ``n_tokens - 1`` (lag-1 invariant),
+    so the compiled program is independent of the exact prompt length.
+    """
+    off = 0
+    for c in plan:
+        _, cache = forward(params, cfg, tokens[:, off : off + c], cache)
+        off += c
+    return set_cache_length(cache, jnp.asarray(n_tokens, jnp.int32) - 1)
+
+
 def prefill(params, cfg: ModelConfig, cache: KVCache, prompt: jax.Array):
     """Process ``prompt[:, :-1]`` into the cache (lag-1 invariant).
 
@@ -150,7 +185,7 @@ class ARState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_len"),
+    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_plan"),
     donate_argnames=("tokens", "cache"),
 )
 def ar_generate(
@@ -164,17 +199,18 @@ def ar_generate(
     sampling: SamplingConfig,
     max_new_tokens: int,
     eos_ids: tuple[int, ...] = (),
-    prefill_len: int | None = None,
+    prefill_plan: tuple[int, ...] | None = None,
 ):
     """Vanilla AR decode with KV cache (reference src/engine.py:549-608),
     whole generation in one while_loop.
 
-    With ``prefill_len`` the prompt prefill runs INSIDE this program
-    (``cache`` comes in empty): each dispatch is a ~27 ms RPC round trip
-    on the remote backend, so fusing prefill+decode into one dispatch is
-    a direct per-run saving."""
-    if prefill_len is not None:
-        cache = prefill(params, cfg, cache, tokens[:, :prefill_len])
+    With ``prefill_plan`` (see prefill_plan_for) the prompt prefill runs
+    INSIDE this program (``cache`` comes in empty): each dispatch is a
+    ~27 ms RPC round trip on the remote backend, so fusing prefill+decode
+    into one dispatch is a direct per-run saving — and the program
+    specialises on the bucketed plan, not the exact prompt length."""
+    if prefill_plan is not None:
+        cache = prefill_by_plan(params, cfg, cache, tokens, prefill_plan, n_tokens)
     limit = n_tokens + max_new_tokens
 
     def cond(s: ARState):
@@ -534,7 +570,7 @@ def init_sd_records(max_iters: int) -> SDRecords:
         "rebuild_top_k",
         "max_new_tokens",
         "eos_ids",
-        "prefill_len",
+        "prefill_plan",
     ),
     donate_argnums=(2, 4, 5),
 )
@@ -555,21 +591,25 @@ def sd_generate(
     rebuild_top_k: int | None = None,
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
-    prefill_len: int | None = None,
+    prefill_plan: tuple[int, ...] | None = None,
 ):
     """Full speculative-decoding generation on device.
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
-    With ``prefill_len`` both tiers' prompt prefills run INSIDE this
+    With ``prefill_plan`` both tiers' prompt prefills run INSIDE this
     program (caches come in empty) — one dispatch per generation instead
-    of three (each is a ~27 ms RPC round trip on the remote backend).
+    of three (each is a ~27 ms RPC round trip on the remote backend) —
+    and the program specialises on the bucketed plan, not the exact
+    prompt length (prefill_plan_for).
     """
-    if prefill_len is not None:
-        draft_cache = prefill(
-            draft_params, draft_cfg, draft_cache, tokens[:, :prefill_len]
+    if prefill_plan is not None:
+        draft_cache = prefill_by_plan(
+            draft_params, draft_cfg, draft_cache, tokens, prefill_plan,
+            n_tokens,
         )
-        target_cache = prefill(
-            target_params, target_cfg, target_cache, tokens[:, :prefill_len]
+        target_cache = prefill_by_plan(
+            target_params, target_cfg, target_cache, tokens, prefill_plan,
+            n_tokens,
         )
     limit = n_tokens + max_new_tokens
     max_iters = max_new_tokens  # worst case: 1 token per iteration

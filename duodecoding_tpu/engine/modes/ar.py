@@ -10,7 +10,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from duodecoding_tpu.engine.loops import ar_generate
+from duodecoding_tpu.engine.loops import ar_generate, prefill_plan_for
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.registry import register_mode
 
@@ -24,7 +24,8 @@ def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, 
     eos = cfg.eos_ids if use_early_stopping else ()
 
     with Stopwatch() as sw:
-        # prefill runs INSIDE ar_generate (prefill_len): one dispatch
+        # prefill runs INSIDE ar_generate (prefill_plan): one dispatch,
+        # specialised on the bucketed plan (not the exact prompt length)
         out_tokens, n, _, steps = ar_generate(
             tier.params,
             cfg=tier.cfg,
@@ -35,7 +36,7 @@ def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, 
             sampling=engine.sampling,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
-            prefill_len=L,
+            prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
         block(out_tokens, n)
 

@@ -8,7 +8,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from duodecoding_tpu.engine.loops import sd_generate
+from duodecoding_tpu.engine.loops import prefill_plan_for, sd_generate
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 
 TOKEN_BYTES = 8  # reference token tensors are torch.long (8 B/elem)
@@ -69,7 +69,8 @@ def run_sd_loop(
     t_cache = engine.new_cache(target)
 
     with Stopwatch() as sw:
-        # prefills run INSIDE sd_generate (prefill_len): one dispatch
+        # prefills run INSIDE sd_generate (prefill_plan): one dispatch,
+        # specialised on the bucketed plan (not the exact prompt length)
         out_tokens, n, records, iters, d_steps, t_steps = sd_generate(
             draft.params,
             target.params,
@@ -86,7 +87,7 @@ def run_sd_loop(
             rebuild_top_k=rebuild_top_k,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
-            prefill_len=L,
+            prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
         block(out_tokens, n)
 

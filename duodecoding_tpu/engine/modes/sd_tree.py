@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.modes.common import run_sd_loop  # noqa: F401 (doc xref)
 from duodecoding_tpu.engine.registry import register_mode
+from duodecoding_tpu.engine.loops import prefill_plan_for
 from duodecoding_tpu.engine.tree_loops import tree_generate
 
 
@@ -76,7 +77,8 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     t_cache = engine.new_cache(target)
 
     with Stopwatch() as sw:
-        # prefills run INSIDE tree_generate (prefill_len): one dispatch
+        # prefills run INSIDE tree_generate (prefill_plan): one dispatch,
+        # specialised on the bucketed plan (not the exact prompt length)
         out_tokens, n, records, iters, d_steps, t_steps = tree_generate(
             draft.params,
             target.params,
@@ -89,7 +91,7 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
             spec=spec,
             max_new_tokens=cfg.max_tokens,
             eos_ids=eos,
-            prefill_len=L,
+            prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
         block(out_tokens, n)
 

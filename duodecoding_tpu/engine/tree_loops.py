@@ -312,7 +312,7 @@ def tree_iteration(
         "spec",
         "max_new_tokens",
         "eos_ids",
-        "prefill_len",
+        "prefill_plan",
     ),
     donate_argnums=(2, 4, 5),
 )
@@ -329,28 +329,33 @@ def tree_generate(
     spec: tuple[int, ...],
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
-    prefill_len: int | None = None,
+    prefill_plan: tuple[int, ...] | None = None,
 ):
     """Full branch-spec tree-SD generation on device (greedy).
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
-    With ``prefill_len`` both tiers' prompt prefills run INSIDE this
-    program (caches come in empty; the draft prefill broadcasts the
-    prompt over the lanes) — one dispatch per generation instead of
-    three (each is a ~27 ms RPC round trip on the remote backend).
+    With ``prefill_plan`` (loops.py::prefill_plan_for) both tiers' prompt
+    prefills run INSIDE this program (caches come in empty; the draft
+    prefill broadcasts the prompt over the lanes) — one dispatch per
+    generation instead of three, specialised on the bucketed plan rather
+    than the exact prompt length.
     """
-    if prefill_len is not None:
-        from duodecoding_tpu.engine.loops import prefill
+    if prefill_plan is not None:
+        from duodecoding_tpu.engine.loops import prefill_by_plan
 
         lanes = draft_cache.k.shape[1]
-        draft_cache = prefill(
+        span = sum(prefill_plan)
+        draft_cache = prefill_by_plan(
             draft_params,
             draft_cfg,
             draft_cache,
-            jnp.broadcast_to(tokens[:, :prefill_len], (lanes, prefill_len)),
+            jnp.broadcast_to(tokens[:, :span], (lanes, span)),
+            prefill_plan,
+            n_tokens,
         )
-        target_cache = prefill(
-            target_params, target_cfg, target_cache, tokens[:, :prefill_len]
+        target_cache = prefill_by_plan(
+            target_params, target_cfg, target_cache, tokens, prefill_plan,
+            n_tokens,
         )
     limit = n_tokens + max_new_tokens
 

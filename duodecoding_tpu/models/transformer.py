@@ -309,39 +309,29 @@ def forward(
             return h + wmm(gate * u, "w_down")
 
         if use_flash:
-            # flash kernel reads the UPDATED cache slice (write-then-read);
-            # ys stay full slices on this path
-            if quantized_kv:
-                k_codes, k_s = quantize_kv(k)
-                v_codes, v_s = quantize_kv(v)
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k_codes, (0, start, 0, 0)
-                )
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v_codes, (0, start, 0, 0)
-                )
-                k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
-                v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
-                from duodecoding_tpu.ops.pallas.flash_decode import (
-                    flash_decode_attention,
-                )
-
-                # in-kernel int8 dequant: the bf16 cache never materialises
-                ctx = flash_decode_attention(
-                    q, k_cache, v_cache, start, k_sc, v_sc,
-                    block_k=flash_block,
-                ).astype(h.dtype)
-                return finish(ctx, h), (k_cache, v_cache, k_sc, v_sc)
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, start, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, start, 0, 0))
+            # int8-flash path (use_flash implies quantized_kv — bf16 caches
+            # route to use_stacked_flash): the flash kernel reads the
+            # UPDATED cache slice (write-then-read); ys stay full slices
+            k_codes, k_s = quantize_kv(k)
+            v_codes, v_s = quantize_kv(v)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_codes, (0, start, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_codes, (0, start, 0, 0)
+            )
+            k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
+            v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
             from duodecoding_tpu.ops.pallas.flash_decode import (
                 flash_decode_attention,
             )
 
+            # in-kernel int8 dequant: the bf16 cache never materialises
             ctx = flash_decode_attention(
-                q, k_cache, v_cache, start, block_k=flash_block
+                q, k_cache, v_cache, start, k_sc, v_sc,
+                block_k=flash_block,
             ).astype(h.dtype)
-            return finish(ctx, h), (k_cache, v_cache)
+            return finish(ctx, h), (k_cache, v_cache, k_sc, v_sc)
 
         if use_stacked_flash:
             from duodecoding_tpu.ops.pallas.flash_decode import (

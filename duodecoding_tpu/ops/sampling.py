@@ -192,6 +192,12 @@ def top_k_via_argmax(x: jax.Array, k: int):
 
     Returns ``(values [..., k], indices [..., k])``. Falls back to
     ``lax.top_k`` for k > 16 where the sort starts to win back.
+
+    PRECONDITION: every row must have at least k entries above -inf.
+    Selected positions are masked with -inf, so a row with fewer finite
+    entries repeats index 0 for the exhausted rounds (unlike ``lax.top_k``,
+    which always returns k distinct indices). Call sites here feed raw
+    logits (all finite); do not feed already-top-k/top-p-filtered rows.
     """
     if k > 16:
         return jax.lax.top_k(x, k)
