@@ -35,11 +35,25 @@ def parse_spec(tree_spec) -> tuple[int, ...]:
     return spec
 
 
+def parse_specs(tree_spec) -> tuple[tuple[int, ...], ...]:
+    """Parse one or more ';'-separated branch specs (multiple specs =
+    adaptive per-iteration width selection, confident-to-uncertain order)."""
+    if isinstance(tree_spec, str):
+        return tuple(parse_spec(s) for s in tree_spec.split(";") if s)
+    if tree_spec and isinstance(tree_spec[0], (tuple, list)):
+        return tuple(parse_spec(s) for s in tree_spec)
+    return (parse_spec(tree_spec),)
+
+
 @register_mode("sd_tree", aliases=("duodec", "sd_kseq"))
-def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
+def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
+            **kw):
     """Tree SD. ``tree_spec`` = per-level branch factors (e.g. (4, 2, 2, 1));
     ``tree_k`` alone = fork width for the k-chain special case
-    ``(tree_k, 1, ..., 1)`` over ``gamma`` levels."""
+    ``(tree_k, 1, ..., 1)`` over ``gamma`` levels. Multiple ';'-separated
+    specs enable DYNAMIC width: the draft's first-token logit gap picks a
+    spec per iteration against the descending ``tree_gap`` thresholds
+    (reference generate_k_seq parity, src/model_cpu.py:138-252)."""
     from duodecoding_tpu.engine.engine import Stopwatch, block
 
     cfg = engine.config
@@ -52,19 +66,19 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     tokens, L = engine.token_buffer(prefix)
     gamma = kw.get("gamma") or cfg.gamma
     if tree_spec is not None:
-        spec = parse_spec(tree_spec)
-        gamma = len(spec)
+        specs = parse_specs(tree_spec)
+        gamma = max(len(sp) for sp in specs)
     else:
-        spec = (int(tree_k),) + (1,) * (gamma - 1)
-    lanes = int(np.prod(spec))
+        specs = ((int(tree_k),) + (1,) * (gamma - 1),)
+    lanes = max(int(np.prod(sp)) for sp in specs)
     from duodecoding_tpu.engine.tree_loops import spec_layout
 
-    n_rows = len(spec_layout(spec).offsets)  # verify rows incl. root
+    n_rows = max(len(spec_layout(sp).offsets) for sp in specs)  # incl. root
     if L + cfg.max_tokens + n_rows > cfg.max_seq_len:
         raise ValueError(
-            f"sd_tree spec {spec} verifies {n_rows} rows per iteration: "
-            f"prompt ({L}) + max_tokens ({cfg.max_tokens}) + {n_rows} "
-            f"exceeds max_seq_len ({cfg.max_seq_len})"
+            f"sd_tree specs {specs} verify up to {n_rows} rows per "
+            f"iteration: prompt ({L}) + max_tokens ({cfg.max_tokens}) + "
+            f"{n_rows} exceeds max_seq_len ({cfg.max_seq_len})"
         )
     if L < gamma + 2:
         raise ValueError(
@@ -76,23 +90,54 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, **kw):
     d_cache = engine.new_cache(draft, batch=lanes)
     t_cache = engine.new_cache(target)
 
+    if len(specs) > 1:
+        from duodecoding_tpu.engine.tree_loops import tree_generate_adaptive
+
+        if tree_gap is None:
+            tree_gap = (2.0,) * (len(specs) - 1)
+        elif isinstance(tree_gap, (int, float)):
+            tree_gap = (float(tree_gap),) * (len(specs) - 1)
+        thresholds = tuple(float(t) for t in tree_gap)
+
+        def generate():
+            return tree_generate_adaptive(
+                draft.params,
+                target.params,
+                tokens,
+                jnp.int32(L),
+                d_cache,
+                t_cache,
+                draft_cfg=draft.cfg,
+                target_cfg=target.cfg,
+                specs=specs,
+                gap_thresholds=thresholds,
+                max_new_tokens=cfg.max_tokens,
+                eos_ids=eos,
+                prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
+            )
+
+    else:
+
+        def generate():
+            return tree_generate(
+                draft.params,
+                target.params,
+                tokens,
+                jnp.int32(L),
+                d_cache,
+                t_cache,
+                draft_cfg=draft.cfg,
+                target_cfg=target.cfg,
+                spec=specs[0],
+                max_new_tokens=cfg.max_tokens,
+                eos_ids=eos,
+                prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
+            )
+
     with Stopwatch() as sw:
-        # prefills run INSIDE tree_generate (prefill_plan): one dispatch,
-        # specialised on the bucketed plan (not the exact prompt length)
-        out_tokens, n, records, iters, d_steps, t_steps = tree_generate(
-            draft.params,
-            target.params,
-            tokens,
-            jnp.int32(L),
-            d_cache,
-            t_cache,
-            draft_cfg=draft.cfg,
-            target_cfg=target.cfg,
-            spec=spec,
-            max_new_tokens=cfg.max_tokens,
-            eos_ids=eos,
-            prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
-        )
+        # prefills run INSIDE the generate program (prefill_plan): one
+        # dispatch, specialised on the bucketed plan
+        out_tokens, n, records, iters, d_steps, t_steps = generate()
         block(out_tokens, n)
 
     n, iters = int(n), int(iters)

@@ -139,6 +139,192 @@ def spec_layout(spec: tuple[int, ...]) -> TreeLayout:
     )
 
 
+def _tree_branch(
+    draft_params,
+    target_params,
+    s: KTreeState,
+    logits,  # [lanes, CU, V] — shared catch-up logits (all lanes identical)
+    d_cache,  # draft cache at length n (post catch-up)
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    spec: tuple[int, ...],
+    eos_ids: tuple[int, ...],
+    limit: jax.Array,
+) -> KTreeState:
+    """Fork-draft + tree-verify + greedy walk + commit for ONE branch spec,
+    starting from the shared catch-up state. The draft cache may carry
+    MORE lanes than prod(spec) (adaptive mode sizes it for the widest
+    spec); extra lanes duplicate lane ``l % B`` — identical caches, picks
+    consistent by construction, and only the first B lanes feed the
+    verify window."""
+    verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+    gamma = len(spec)
+    B = int(np.prod(spec))
+    kmax = max(spec)
+    lay = spec_layout(spec)
+    lanes = d_cache.k.shape[1]
+    pick = lay.pick[:, np.arange(lanes) % B]  # [gamma, lanes]
+    n = s.n_tokens
+
+    q0 = logits[0, -1, :verify_vocab]  # lanes identical after catch-up
+    _, top0 = top_k_via_argmax(q0, spec[0])
+    chain0 = top0[pick[0]].astype(jnp.int32)  # [lanes]
+
+    def draft_step(carry, pick_i):
+        last, d_cache = carry
+        lg, d_cache = forward(draft_params, draft_cfg, last[:, None], d_cache)
+        _, topi = top_k_via_argmax(lg[:, -1, :verify_vocab], kmax)
+        nxt = jnp.take_along_axis(topi, pick_i[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        return (nxt, d_cache), nxt
+
+    (_, d_cache), rest = jax.lax.scan(
+        draft_step, (chain0, d_cache), jnp.asarray(pick[1:])
+    )  # rest: [gamma-1, lanes]
+    chains = jnp.concatenate([chain0[None, :], rest], axis=0).T[:B]  # [B, g]
+
+    # --- verify: one tree-attention forward over the deduplicated tree ----
+    last_tok = jax.lax.dynamic_slice(s.tokens, (0, n - 1), (1, 1))[0]
+    ver_nodes = chains[lay.node_from_lane, lay.node_level]  # [T-1]
+    ver_in = jnp.concatenate([last_tok, ver_nodes])[None, :]
+    T = ver_in.shape[1]
+    t_logits, t_cache = forward(
+        target_params,
+        target_cfg,
+        ver_in,
+        s.target_cache,
+        position_offsets=jnp.asarray(lay.offsets),
+        window_mask=jnp.asarray(lay.mask),
+    )
+    preds = jnp.argmax(t_logits[0, :, :verify_vocab], axis=-1).astype(jnp.int32)
+
+    # --- greedy walk (vectorized over lanes) ------------------------------
+    preds_parent = jnp.take(preds, jnp.asarray(lay.parent_rows))  # [B, gamma]
+    cons = chains == preds_parent
+    m_l = jnp.sum(jnp.cumprod(cons.astype(jnp.int32), axis=1), axis=1)  # [B]
+    w = jnp.argmax(m_l).astype(jnp.int32)
+    m = jnp.minimum(m_l[w], limit - 1 - n)
+    win_rows = jnp.take(jnp.asarray(lay.lane_nodes), w, axis=0)  # [gamma]
+    win_chain = chains[w]
+    preds_at_w = jnp.take(preds, win_rows)
+    bonus = jnp.where(m == 0, preds[0], preds_at_w[jnp.maximum(m - 1, 0)])
+
+    # --- commit ------------------------------------------------------------
+    tokens = jax.lax.dynamic_update_slice(s.tokens, win_chain[None, :], (0, n))
+    tokens = jax.lax.dynamic_update_slice(tokens, bonus[None, None], (0, n + m))
+    n_new = n + m + 1
+
+    # --- caches (see tree_iteration for the relocation rationale) ----------
+    start = n - 1
+    perm = jnp.arange(T, dtype=jnp.int32).at[1 : gamma + 1].set(win_rows)
+
+    def move(a):
+        win = jax.lax.dynamic_slice_in_dim(a, start, T, axis=2)
+        return jax.lax.dynamic_update_slice_in_dim(
+            a, jnp.take(win, perm, axis=2), start, axis=2
+        )
+
+    t_cache = t_cache._replace(
+        **{f: move(getattr(t_cache, f)) for f in t_cache._fields if f != "length"}
+    )
+    t_cache = set_cache_length(t_cache, n_new - 1)
+    d_cache = set_cache_length(d_cache, jnp.minimum(d_cache.length, n_new - 1))
+
+    emitted = m + 1
+    done = s.done | _stops_hit(tokens, n, emitted, eos_ids, gamma + 1)
+
+    q0_full = norm_logits(logits[:1, -1, :], 0.0, 0, 0.0)
+    rec = s.records
+    records = SDRecords(
+        actual_gamma=rec.actual_gamma.at[s.it].set(gamma),
+        accepted=rec.accepted.at[s.it].set(m),
+        emitted=rec.emitted.at[s.it].set(emitted),
+        draft_entropy=rec.draft_entropy.at[s.it].set(entropy(q0_full)[0]),
+        target_entropy=rec.target_entropy.at[s.it].set(
+            entropy(norm_logits(t_logits[:1, 0, :], 0.0, 0, 0.0))[0]
+        ),
+        accept_rate=rec.accept_rate.at[s.it].set(m / gamma),
+    )
+    return KTreeState(
+        tokens=tokens,
+        n_tokens=n_new,
+        draft_cache=d_cache,
+        target_cache=t_cache,
+        done=done,
+        it=s.it + 1,
+        draft_steps=s.draft_steps + gamma,
+        target_steps=s.target_steps + 1,
+        records=records,
+    )
+
+
+def tree_iteration_adaptive(
+    draft_params,
+    target_params,
+    s: KTreeState,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    specs: tuple[tuple[int, ...], ...],
+    gap_thresholds: tuple[float, ...],
+    eos_ids: tuple[int, ...],
+    limit: jax.Array,
+) -> KTreeState:
+    """Dynamic per-iteration tree-width selection (reference
+    ``generate_k_seq`` parity: src/model_cpu.py:138-252 picks k in
+    {1,2,4,6,8} from first-token logprob gaps).
+
+    One shared catch-up forward re-syncs all lanes and yields the draft's
+    first-token logits; the top1-top2 logit gap (= logprob gap — the
+    normalizer cancels) selects a branch spec via ``gap_thresholds``
+    (descending; branch i taken when gap < threshold passes i of them):
+    a confident draft (large gap) takes the narrow/deep spec, an
+    uncertain one (small gap) the wider fork. Each spec's full
+    draft-fork/verify/commit compiles once into a ``lax.switch`` branch —
+    the loop stays device-resident, only the taken branch executes."""
+    gmax = max(len(sp) for sp in specs)
+    CU = gmax + 2
+    n = s.n_tokens
+    lanes = s.draft_cache.k.shape[1]
+    d_cache = set_cache_length(
+        s.draft_cache, jnp.minimum(s.draft_cache.length, n - CU)
+    )
+    catch = jax.lax.dynamic_slice(s.tokens, (0, n - CU), (1, CU))
+    catch_k = jnp.broadcast_to(catch, (lanes, CU))
+    logits, d_cache = forward(draft_params, draft_cfg, catch_k, d_cache)
+
+    verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+    v2, _ = top_k_via_argmax(logits[0, -1, :verify_vocab], 2)
+    gap = v2[0] - v2[1]  # logit gap == logprob gap (logsumexp cancels)
+    idx = sum(
+        (gap < jnp.float32(t)).astype(jnp.int32) for t in gap_thresholds
+    )
+
+    def make_branch(sp):
+        def branch(args):
+            s, logits, d_cache = args
+            return _tree_branch(
+                draft_params,
+                target_params,
+                s,
+                logits,
+                d_cache,
+                draft_cfg=draft_cfg,
+                target_cfg=target_cfg,
+                spec=sp,
+                eos_ids=eos_ids,
+                limit=limit,
+            )
+
+        return branch
+
+    return jax.lax.switch(
+        idx, [make_branch(sp) for sp in specs], (s, logits, d_cache)
+    )
+
+
 def tree_iteration(
     draft_params,
     target_params,
@@ -158,6 +344,31 @@ def tree_iteration(
     n = s.n_tokens
     CU = gamma + 2
     probe = os.environ.get("DUODEC_TREE_PROBE", "")  # perf-bisect diagnostics
+    if not probe:
+        # hot path: shared catch-up + _tree_branch (the same body the
+        # adaptive-width mode switches over); the legacy inline body below
+        # is kept only for the DUODEC_TREE_PROBE diagnostics
+        d_cache = set_cache_length(
+            s.draft_cache, jnp.minimum(s.draft_cache.length, n - CU)
+        )
+        catch = jax.lax.dynamic_slice(s.tokens, (0, n - CU), (1, CU))
+        lanes = s.draft_cache.k.shape[1]
+        logits, d_cache = forward(
+            draft_params, draft_cfg, jnp.broadcast_to(catch, (lanes, CU)),
+            d_cache,
+        )
+        return _tree_branch(
+            draft_params,
+            target_params,
+            s,
+            logits,
+            d_cache,
+            draft_cfg=draft_cfg,
+            target_cfg=target_cfg,
+            spec=spec,
+            eos_ids=eos_ids,
+            limit=limit,
+        )
 
     # --- draft: catch-up (re-sync all lanes), branch, pick ----------------
     if "nodraft" in probe:
@@ -387,6 +598,103 @@ def tree_generate(
         records=init_sd_records(max_new_tokens),
     )
     del gamma
+    out = jax.lax.while_loop(cond, body, init)
+    return (
+        out.tokens,
+        out.n_tokens,
+        out.records,
+        out.it,
+        out.draft_steps,
+        out.target_steps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "draft_cfg",
+        "target_cfg",
+        "specs",
+        "gap_thresholds",
+        "max_new_tokens",
+        "eos_ids",
+        "prefill_plan",
+    ),
+    donate_argnums=(2, 4, 5),
+)
+def tree_generate_adaptive(
+    draft_params,
+    target_params,
+    tokens: jax.Array,
+    n_tokens: jax.Array,
+    draft_cache,
+    target_cache,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    specs: tuple[tuple[int, ...], ...],
+    gap_thresholds: tuple[float, ...],
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """Tree SD with per-iteration width selection (greedy).
+
+    ``specs`` are ordered confident-to-uncertain (narrow/deep first);
+    ``gap_thresholds`` (len == len(specs) - 1, descending) map the draft's
+    first-token logit gap to a spec — reference ``generate_k_seq``
+    semantics (src/model_cpu.py:138-252). The draft cache must carry
+    max(prod(spec)) lanes. Greedy-lossless: every branch follows the
+    target's argmax path, so the switch cannot change the emitted tokens,
+    only the speed."""
+    if len(gap_thresholds) != len(specs) - 1:
+        raise ValueError("need len(specs) - 1 gap thresholds")
+    if prefill_plan is not None:
+        from duodecoding_tpu.engine.loops import prefill_by_plan
+
+        lanes = draft_cache.k.shape[1]
+        span = sum(prefill_plan)
+        draft_cache = prefill_by_plan(
+            draft_params,
+            draft_cfg,
+            draft_cache,
+            jnp.broadcast_to(tokens[:, :span], (lanes, span)),
+            prefill_plan,
+            n_tokens,
+        )
+        target_cache = prefill_by_plan(
+            target_params, target_cfg, target_cache, tokens, prefill_plan,
+            n_tokens,
+        )
+    limit = n_tokens + max_new_tokens
+
+    def cond(s: KTreeState):
+        return jnp.logical_and(s.n_tokens < limit, ~jnp.all(s.done))
+
+    def body(s: KTreeState):
+        return tree_iteration_adaptive(
+            draft_params,
+            target_params,
+            s,
+            draft_cfg=draft_cfg,
+            target_cfg=target_cfg,
+            specs=specs,
+            gap_thresholds=gap_thresholds,
+            eos_ids=eos_ids,
+            limit=limit,
+        )
+
+    init = KTreeState(
+        tokens=tokens,
+        n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        draft_cache=draft_cache,
+        target_cache=target_cache,
+        done=jnp.zeros((tokens.shape[0],), bool),
+        it=jnp.int32(0),
+        draft_steps=jnp.int32(0),
+        target_steps=jnp.int32(0),
+        records=init_sd_records(max_new_tokens),
+    )
     out = jax.lax.while_loop(cond, body, init)
     return (
         out.tokens,

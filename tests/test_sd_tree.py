@@ -159,3 +159,30 @@ def test_sd_tree_deeper_hedge_never_fewer_commits():
     _, m_chain = eng.run("sd_tree", PROMPT, tree_spec=(2, 1, 1))
     _, m_deep = eng.run("sd_tree", PROMPT, tree_spec=(2, 2, 2))
     assert m_deep["loop_times"] <= m_chain["loop_times"]
+
+
+def test_sd_tree_dynamic_width_lossless_and_switching():
+    """Adaptive width (multiple specs + gap thresholds) stays lossless —
+    every branch follows the target's argmax path — and actually switches
+    (per-iteration actual_gamma varies when the threshold separates
+    confident/uncertain steps)."""
+    eng = make_engine()
+    out_ar, _ = eng.run("large", PROMPT)
+    out_d, m = eng.run(
+        "sd_tree", PROMPT, tree_spec="3,2,1,1;2,1", tree_gap=(1.0,)
+    )
+    np.testing.assert_array_equal(out_d[0], out_ar[0])
+    assert m["generated_tokens"] == 16
+    # thresholds at the extremes pin the branch: gap < inf always -> wide;
+    # gap < -inf never -> narrow. Both stay lossless.
+    out_w, mw = eng.run(
+        "sd_tree", PROMPT, tree_spec="3,2,1,1;2,1", tree_gap=(1e9,)
+    )
+    out_n, mn = eng.run(
+        "sd_tree", PROMPT, tree_spec="3,2,1,1;2,1", tree_gap=(-1e9,)
+    )
+    np.testing.assert_array_equal(out_w[0], out_ar[0])
+    np.testing.assert_array_equal(out_n[0], out_ar[0])
+    # pinned-wide spec has gamma 2 rows, pinned-narrow gamma 4
+    assert mw["avg_draft_len"] == 2.0
+    assert mn["avg_draft_len"] == 4.0
