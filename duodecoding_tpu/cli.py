@@ -36,7 +36,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sd_tree fork width (DuoDecoding k-sequence draft)")
     p.add_argument("--tree_spec", type=str, default=None,
                    help="sd_tree per-level branch factors, e.g. '4,2,2,1' "
-                        "(overrides --tree_k/--gamma)")
+                        "(overrides --tree_k/--gamma); ';'-separated specs "
+                        "enable dynamic per-iteration width selection "
+                        "(confident-to-uncertain order)")
+    p.add_argument("--datastore", type=str, default=None,
+                   help="rest/rest_tree retrieval datastore path; when "
+                        "missing, a store is BUILT from the task's data "
+                        "jsonls and saved there (reference "
+                        "get_datastore_chat.py pipeline)")
+    p.add_argument("--datastore_data", type=str, default=None,
+                   help="comma-separated jsonl corpus paths for the "
+                        "datastore build (default: the task's data files)")
+    p.add_argument("--max_suffix", type=int, default=16,
+                   help="rest: longest suffix length to match")
+    p.add_argument("--tree_gap", type=str, default=None,
+                   help="descending draft first-token logit-gap thresholds "
+                        "for dynamic tree width (comma-separated, "
+                        "len(specs)-1 values; default 2.0)")
     p.add_argument("--gamma1", type=int, default=4)
     p.add_argument("--gamma2", type=int, default=4)
     p.add_argument("--temp", type=float, default=0.0)
@@ -248,6 +264,10 @@ def build_mode_kwargs(args, engine):
         kw["tree_k"] = args.tree_k
         if args.tree_spec:
             kw["tree_spec"] = args.tree_spec
+        if args.tree_gap:
+            kw["tree_gap"] = tuple(
+                float(t) for t in args.tree_gap.split(",") if t
+            )
     if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2", "space"):
         kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":
@@ -324,6 +344,21 @@ def main(argv=None):
         args.tokenizer or (None if args.random_weights else args.target_model),
         vocab_size=engine.vocab_size,
     )
+    mode_kwargs = build_mode_kwargs(args, engine)
+    if args.eval_mode in ("rest", "rest_tree"):
+        from duodecoding_tpu.native.datastore import resolve_datastore
+
+        mode_kwargs["datastore"] = resolve_datastore(
+            args.datastore,
+            args.task,
+            tokenizer,
+            engine.vocab_size,
+            data_files=(
+                args.datastore_data.split(",") if args.datastore_data else None
+            ),
+            default_dir=args.exp_name,
+        )
+        mode_kwargs["max_suffix"] = args.max_suffix
     task_cls = get_task(args.task)
     task_kwargs = {}
     if args.task == "specbench":
@@ -337,7 +372,7 @@ def main(argv=None):
         dump_network_stats=args.dump_network_stats,
         use_early_stopping=args.use_early_stopping,
         warmup=args.warmup,
-        mode_kwargs=build_mode_kwargs(args, engine),
+        mode_kwargs=mode_kwargs,
         **task_kwargs,
     )
     summary = task.run(args.eval_mode)

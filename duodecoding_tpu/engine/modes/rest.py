@@ -144,6 +144,7 @@ def rest(
     key = engine.next_key()
     iters = 0
     drafted = 0
+    hits = 0
     accepted_total = 0
     target_steps = 0
     compute = sw.elapsed
@@ -159,6 +160,7 @@ def rest(
             top_n=1,
         )
         if conts and len(conts[0]) > 0:
+            hits += 1
             cont = conts[0]
             g_act = min(len(cont), gamma, limit - 1 - n_now)
             buf = np.zeros((gamma,), np.int32)
@@ -205,6 +207,10 @@ def rest(
     m["draft_accepted_tokens"] = accepted_total
     m["loop_times"] = iters
     m["avg_draft_len"] = drafted / iters if iters else 0.0
+    # retrieval hit stats (reference REST reports datastore effectiveness)
+    m["rest_lookups"] = iters
+    m["rest_hits"] = hits
+    m["rest_hit_rate"] = hits / iters if iters else 0.0
     m["computation_time"] = compute
     m["wall_time"] = compute
     return out, finalize_throughput(m)
@@ -283,7 +289,7 @@ def rest_tree(
     host_tokens = [int(t) for t in np.asarray(tokens[0, :L])]
     n_now = L
     limit = L + cfg.max_tokens
-    iters = drafted = accepted_total = 0
+    iters = drafted = accepted_total = hits = 0
     compute = sw.elapsed
     done = False
     cached = L - 1  # contiguous valid cache length
@@ -295,6 +301,7 @@ def rest_tree(
             draft_len=gamma,
             top_n=top_n,
         )
+        hits += 1 if conts else 0
         tree = build_draft_tree(conts or [], max_tree_nodes)
 
         # window: uncached committed tail (causal) + tree nodes
@@ -356,6 +363,9 @@ def rest_tree(
     m["draft_accepted_tokens"] = accepted_total
     m["draft_generated_tokens"] = max(drafted, accepted_total)
     m["loop_times"] = iters
+    m["rest_lookups"] = iters
+    m["rest_hits"] = hits
+    m["rest_hit_rate"] = hits / iters if iters else 0.0
     m["computation_time"] = compute
     m["wall_time"] = compute
     return out, finalize_throughput(m)

@@ -69,9 +69,13 @@ class MetricsAccumulator:
                     for link, c in (v or {}).items():
                         agg[k][link] = agg[k].get(link, 0) + c
                 elif isinstance(v, (int, float)) and v is not None:
-                    agg[k] = agg[k] + v
+                    # mode-specific extras (e.g. rest_* retrieval stats)
+                    # accumulate from 0 like the schema keys
+                    agg[k] = agg.get(k, 0) + v
         if agg["wall_time"] > 0:
             agg["throughput"] = agg["generated_tokens"] / agg["wall_time"]
+        if agg.get("rest_lookups"):  # rate is derived, not summed
+            agg["rest_hit_rate"] = agg["rest_hits"] / agg["rest_lookups"]
         n = max(len(self.runs), 1)
         agg["avg_draft_len"] = sum(m["avg_draft_len"] for m in self.runs) / n
         agg["avg_top_k"] = sum(m["avg_top_k"] for m in self.runs) / n

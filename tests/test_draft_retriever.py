@@ -167,3 +167,25 @@ def test_build_draft_tree_and_greedy_walk():
     chain, bonus = best_greedy_path(tree, am, root_pred=7)
     assert [int(tree.tokens[i]) for i in chain] == [7, 8, 4]
     assert bonus == 99
+
+
+def test_rest_cli_path_autobuilds_datastore(tmp_path):
+    """The CLI path: `--eval_mode rest` with no --datastore builds a store
+    from the task jsonls and runs end-to-end (VERDICT r2 item 4)."""
+    import json
+    import os
+
+    from duodecoding_tpu.cli import main
+
+    exp = str(tmp_path / "exp")
+    summary = main([
+        "--eval_mode", "rest", "--task", "mt_bench", "--random_weights",
+        "--platform", "cpu", "-t", "test-tiny", "--eval_data_num", "1",
+        "--max_tokens", "8", "--max_seq_len", "512", "--warmup", "0",
+        "--exp_name", exp,
+    ])
+    assert summary["tokens_per_second"] > 0
+    assert os.path.exists(str(tmp_path / "exp" / "datastore_mt_bench.idx"))
+    m = json.load(open(summary["metrics_path"]))
+    assert m["rest_lookups"] > 0
+    assert 0.0 <= m["rest_hit_rate"] <= 1.0
