@@ -97,8 +97,11 @@ def _eagle_core(
         )
     cfg = engine.config
     target = engine.target
-    if not engine.sampling.greedy:
-        raise NotImplementedError(f"{mode_name} implements greedy acceptance")
+    # temp 0: greedy walk (token-identical to AR); temp > 0: typical
+    # acceptance (reference src/model/medusa/utils.py:274-320) with a
+    # device-sampled bonus token
+    greedy = engine.sampling.greedy
+    typical = (0.09, 0.3)
 
     tokens, L = engine.token_buffer(prefix)
     eos = cfg.eos_ids if use_early_stopping else ()
@@ -185,27 +188,51 @@ def _eagle_core(
         mask[W_tail:, W_tail:] = tree.mask
         mask[W_tail:, :tl] = True
 
-        argmaxes, hidden, cache = tree_forward_step(
-            target.params,
-            jnp.asarray(win_tokens),
-            jnp.asarray(offsets),
-            jnp.asarray(mask),
-            cache,
-            cfg=target.cfg,
-        )
-        am = np.asarray(argmaxes)
-        hid = np.asarray(hidden, np.float32)
-        root_pred = int(am[tl - 1])
-        chain, bonus = best_greedy_path(
-            tree, am[W_tail : W_tail + max_tree_nodes], root_pred
-        )
+        if greedy:
+            argmaxes, hidden, cache = tree_forward_step(
+                target.params,
+                jnp.asarray(win_tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(mask),
+                cache,
+                cfg=target.cfg,
+            )
+            am = np.asarray(argmaxes)
+            hid = np.asarray(hidden, np.float32)
+            root_pred = int(am[tl - 1])
+            chain, bonus = best_greedy_path(
+                tree, am[W_tail : W_tail + max_tree_nodes], root_pred
+            )
+        else:
+            from duodecoding_tpu.engine.modes.rest import tree_sample_step
+            from duodecoding_tpu.ops.tree import best_accept_path
+
+            parent_rows = np.where(
+                tree.parent >= 0, W_tail + tree.parent, tl - 1
+            ).astype(np.int32)
+            sampled, flags, hidden, cache = tree_sample_step(
+                target.params,
+                jnp.asarray(win_tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(mask),
+                jnp.asarray(parent_rows),
+                jnp.asarray(tree.tokens),
+                engine.next_key(),
+                cache,
+                cfg=target.cfg,
+                sampling=engine.sampling,
+                typical=typical,
+            )
+            sm = np.asarray(sampled)
+            hid = np.asarray(hidden, np.float32)
+            chain = best_accept_path(tree, np.asarray(flags))
         budget = limit - n_now
         chain = chain[: max(budget - 1, 0)]
         new_toks = [int(tree.tokens[i]) for i in chain]
-        if chain:
-            bonus = int(am[W_tail + chain[-1]])
+        if greedy:
+            bonus = int(am[W_tail + chain[-1]]) if chain else root_pred
         else:
-            bonus = root_pred
+            bonus = int(sm[W_tail + chain[-1]]) if chain else int(sm[tl - 1])
         new_toks.append(bonus)
 
         # eagle catch-up pairs: (h_{t-1}, token_t) for each committed t.

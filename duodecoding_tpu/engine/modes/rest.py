@@ -246,6 +246,53 @@ def tree_forward_step(
     return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), hidden[0], cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "typical"),
+    donate_argnames=("cache",),
+)
+def tree_sample_step(
+    target_params,
+    window_tokens: jax.Array,  # [1, W]
+    offsets: jax.Array,  # [W]
+    window_mask: jax.Array,  # [W, W]
+    parent_rows: jax.Array,  # [N] window row of each tree node's parent
+    node_tokens: jax.Array,  # [N] tree node tokens
+    key: jax.Array,
+    cache: KVCache,
+    *,
+    cfg: ModelConfig,
+    sampling: SamplingConfig,
+    typical: tuple[float, float],
+):
+    """Sampled (temperature > 0) tree verification step: typical
+    acceptance (reference src/model/medusa/utils.py:274-320). Returns
+    per-row SAMPLED tokens (bonus source), per-node accept flags
+    (p_parent(token) > min(eps, alpha*exp(-H(p_parent)))), hidden states,
+    and the advanced cache."""
+    from duodecoding_tpu.engine.loops import entropy
+
+    logits, cache, hidden = forward(
+        target_params,
+        cfg,
+        window_tokens,
+        cache,
+        return_hidden=True,
+        position_offsets=offsets,
+        window_mask=window_mask,
+    )
+    p = norm_logits(
+        logits[0], sampling.temperature, sampling.top_k, sampling.top_p
+    )  # [W, V]
+    eps, alpha = typical
+    thr = jnp.minimum(eps, alpha * jnp.exp(-entropy(p)))  # [W]
+    p_parent = jnp.take(p, parent_rows, axis=0)  # [N, V]
+    p_cand = jnp.take_along_axis(p_parent, node_tokens[:, None], axis=-1)[:, 0]
+    flags = p_cand > jnp.take(thr, parent_rows)
+    sampled = sample(key, p)[:, 0].astype(jnp.int32)  # [W]
+    return sampled, flags, hidden[0], cache
+
+
 @register_mode("rest_tree")
 def rest_tree(
     engine,
@@ -265,7 +312,9 @@ def rest_tree(
     greedy AR output."""
     from duodecoding_tpu.engine.engine import Stopwatch, block
     from duodecoding_tpu.native import DraftReader
-    from duodecoding_tpu.ops.tree import best_greedy_path, build_draft_tree
+    from duodecoding_tpu.ops.tree import (
+        best_accept_path, best_greedy_path, build_draft_tree,
+    )
 
     cfg = engine.config
     target = engine.target
@@ -273,8 +322,13 @@ def rest_tree(
         datastore = DraftReader(datastore)
     if datastore is None:
         raise ValueError("rest_tree requires a datastore")
-    if not engine.sampling.greedy:
-        raise NotImplementedError("rest_tree implements greedy acceptance")
+    # temp 0: greedy walk (token-identical to AR); temp > 0: typical
+    # acceptance (tree_sample_step) with a device-sampled bonus
+    greedy = engine.sampling.greedy
+    typical = (
+        float(kw.get("posterior_threshold", 0.09)),
+        float(kw.get("posterior_alpha", 0.3)),
+    )
 
     tokens, L = engine.token_buffer(prefix)
     eos = cfg.eos_ids if use_early_stopping else ()
@@ -318,27 +372,47 @@ def rest_tree(
         mask[W_tail:, W_tail:] = tree.mask
         mask[W_tail:, :tl] = True  # tree sees the whole committed tail
 
-        argmaxes, _hidden, cache = tree_forward_step(
-            target.params,
-            jnp.asarray(win_tokens),
-            jnp.asarray(offsets),
-            jnp.asarray(mask),
-            cache,
-            cfg=target.cfg,
-        )
-        am = np.asarray(argmaxes)
-        root_pred = int(am[tl - 1])  # prediction after the last committed token
-        chain, bonus = best_greedy_path(
-            tree, am[W_tail : W_tail + max_tree_nodes], root_pred
-        )
+        if greedy:
+            argmaxes, _hidden, cache = tree_forward_step(
+                target.params,
+                jnp.asarray(win_tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(mask),
+                cache,
+                cfg=target.cfg,
+            )
+            am = np.asarray(argmaxes)
+            root_pred = int(am[tl - 1])  # prediction after the last token
+            chain, bonus = best_greedy_path(
+                tree, am[W_tail : W_tail + max_tree_nodes], root_pred
+            )
+        else:
+            parent_rows = np.where(
+                tree.parent >= 0, W_tail + tree.parent, tl - 1
+            ).astype(np.int32)
+            sampled, flags, _hidden, cache = tree_sample_step(
+                target.params,
+                jnp.asarray(win_tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(mask),
+                jnp.asarray(parent_rows),
+                jnp.asarray(tree.tokens),
+                engine.next_key(),
+                cache,
+                cfg=target.cfg,
+                sampling=engine.sampling,
+                typical=typical,
+            )
+            sm = np.asarray(sampled)
+            chain = best_accept_path(tree, np.asarray(flags))
         budget = limit - n_now
         chain = chain[: max(budget - 1, 0)]
         new_toks = [int(tree.tokens[i]) for i in chain]
         # recompute bonus if the chain was budget-truncated
-        if chain:
-            bonus = int(am[W_tail + chain[-1]])
+        if greedy:
+            bonus = int(am[W_tail + chain[-1]]) if chain else root_pred
         else:
-            bonus = root_pred
+            bonus = int(sm[W_tail + chain[-1]]) if chain else int(sm[tl - 1])
         new_toks.append(bonus)
 
         for j, t in enumerate(new_toks):

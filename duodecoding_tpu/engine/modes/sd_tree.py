@@ -47,6 +47,7 @@ def parse_specs(tree_spec) -> tuple[tuple[int, ...], ...]:
 
 @register_mode("sd_tree", aliases=("duodec", "sd_kseq"))
 def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
+            posterior_threshold: float = 0.09, posterior_alpha: float = 0.3,
             **kw):
     """Tree SD. ``tree_spec`` = per-level branch factors (e.g. (4, 2, 2, 1));
     ``tree_k`` alone = fork width for the k-chain special case
@@ -57,11 +58,14 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
     from duodecoding_tpu.engine.engine import Stopwatch, block
 
     cfg = engine.config
-    if cfg.temperature != 0.0:
-        raise NotImplementedError(
-            "sd_tree is greedy-only (the tree walk follows the target's "
-            "argmax path); use `sd` for temperature sampling"
-        )
+    # temperature 0: greedy argmax walk, token-identical to `large`.
+    # temperature > 0: typical-acceptance sampled verification (reference
+    # medusa evaluate_posterior, src/model/medusa/utils.py:274-320) with
+    # `posterior_threshold`/`posterior_alpha` — the reference's sampled
+    # tree semantics (not an exact match of AR sampling: candidates are
+    # the draft's top-k, not samples).
+    sampling = None if cfg.temperature == 0.0 else engine.sampling
+    typical = (float(posterior_threshold), float(posterior_alpha))
     draft, target = engine.draft, engine.target
     tokens, L = engine.token_buffer(prefix)
     gamma = kw.get("gamma") or cfg.gamma
@@ -111,6 +115,9 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
                 target_cfg=target.cfg,
                 specs=specs,
                 gap_thresholds=thresholds,
+                key=engine.next_key(),
+                sampling=sampling,
+                typical=typical,
                 max_new_tokens=cfg.max_tokens,
                 eos_ids=eos,
                 prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
@@ -129,6 +136,9 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
                 draft_cfg=draft.cfg,
                 target_cfg=target.cfg,
                 spec=specs[0],
+                key=engine.next_key(),
+                sampling=sampling,
+                typical=typical,
                 max_new_tokens=cfg.max_tokens,
                 eos_ids=eos,
                 prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),

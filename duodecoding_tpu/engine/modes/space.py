@@ -36,6 +36,7 @@ from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metric
 from duodecoding_tpu.engine.registry import register_mode
 from duodecoding_tpu.models.config import ModelConfig
 from duodecoding_tpu.models.transformer import KVCache, forward, rollback
+from duodecoding_tpu.ops.sampling import norm_logits
 
 
 @functools.partial(
@@ -46,6 +47,36 @@ def space_step(params, cfg: ModelConfig, win_tokens: jax.Array, cache: KVCache):
     cache (caller rolls back to the committed contiguous length)."""
     logits, cache = forward(params, cfg, win_tokens, cache)
     return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "typical"),
+    donate_argnames=("cache",),
+)
+def space_sample_step(
+    params, cfg: ModelConfig, win_tokens: jax.Array, cache: KVCache,
+    key: jax.Array, *, sampling, typical: tuple[float, float],
+):
+    """Sampled (temp > 0) variant: per-row typical-acceptance thresholds
+    (reference src/model/medusa/utils.py:274-320) against the NEXT row's
+    token in the causal window, plus per-row sampled tokens for the bonus.
+    Returns (sampled [W], accept_next [W] — row r's threshold test for
+    win_tokens[r+1], cache)."""
+    from duodecoding_tpu.engine.loops import entropy
+    from duodecoding_tpu.ops.sampling import sample
+
+    logits, cache = forward(params, cfg, win_tokens, cache)
+    p = norm_logits(
+        logits[0], sampling.temperature, sampling.top_k, sampling.top_p
+    )  # [W, V]
+    eps, alpha = typical
+    thr = jnp.minimum(eps, alpha * jnp.exp(-entropy(p)))  # [W]
+    nxt = jnp.concatenate([win_tokens[0, 1:], win_tokens[0, :1]])  # [W]
+    p_next = jnp.take_along_axis(p, nxt[:, None], axis=-1)[:, 0]
+    accept_next = p_next > thr
+    sampled = sample(key, p)[:, 0].astype(jnp.int32)
+    return sampled, accept_next, cache
 
 
 @register_mode("space")
@@ -64,8 +95,13 @@ def space(
 
     cfg = engine.config
     target = engine.target
-    if not engine.sampling.greedy:
-        raise NotImplementedError("space implements greedy acceptance")
+    # temp 0: greedy auto-verify (token-identical to AR); temp > 0:
+    # typical acceptance along the draft chain with a sampled bonus
+    greedy = engine.sampling.greedy
+    typical = (
+        float(kw.get("posterior_threshold", 0.09)),
+        float(kw.get("posterior_alpha", 0.3)),
+    )
     if space_mask_emb is None:
         raise ValueError(
             "space requires trained mask embeddings "
@@ -103,23 +139,38 @@ def space(
         win[0, tl : tl + nd] = drafts
         win[0, tl + nd : tl + nd + k] = mask_ids
 
-        am, cache = space_step(params, target.cfg, jnp.asarray(win), cache)
-        am = np.asarray(am)
+        if greedy:
+            am, cache = space_step(params, target.cfg, jnp.asarray(win), cache)
+            am = np.asarray(am)
 
-        # auto-verify the pending drafts along the model's argmax chain
-        pred = int(am[tl - 1])
-        a = 0
-        while a < nd and drafts[a] == pred:
-            pred = int(am[tl + a])
-            a += 1
-        bonus = pred
+            # auto-verify the pending drafts along the model's argmax chain
+            pred = int(am[tl - 1])
+            a = 0
+            while a < nd and drafts[a] == pred:
+                pred = int(am[tl + a])
+                a += 1
+            bonus = pred
+        else:
+            sampled, acc_next, cache = space_sample_step(
+                params, target.cfg, jnp.asarray(win), cache,
+                engine.next_key(), sampling=engine.sampling, typical=typical,
+            )
+            sm = np.asarray(sampled)
+            an = np.asarray(acc_next)
+            # accept draft a while row tl-1+a accepts its next-row token
+            a = 0
+            while a < nd and bool(an[tl - 1 + a]):
+                a += 1
+            bonus = int(sm[tl - 1 + a])
+            am = None
         budget = limit - n_now
         new_toks = (drafts[:a] + [bonus])[:budget]
 
         # mask proposals are conditioned on ALL drafts: valid only when
         # every draft was accepted
         if a == nd:
-            drafts = [int(am[tl + nd + j]) for j in range(k)]
+            src_row = am if greedy else sm
+            drafts = [int(src_row[tl + nd + j]) for j in range(k)]
         else:
             drafts = []
 

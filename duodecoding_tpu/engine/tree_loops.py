@@ -63,6 +63,7 @@ from duodecoding_tpu.ops.sampling import norm_logits, top_k_via_argmax
 class KTreeState(NamedTuple):
     tokens: jax.Array  # [1, S]
     n_tokens: jax.Array
+    key: jax.Array  # PRNG state (sampled typical-acceptance verification)
     draft_cache: object  # [L, B, S, ...] — lanes on the batch axis
     target_cache: object  # [L, 1, S, ...]
     done: jax.Array
@@ -151,8 +152,10 @@ def _tree_branch(
     spec: tuple[int, ...],
     eos_ids: tuple[int, ...],
     limit: jax.Array,
+    sampling=None,  # SamplingConfig | None — None/greedy = argmax walk
+    typical: tuple[float, float] = (0.09, 0.3),
 ) -> KTreeState:
-    """Fork-draft + tree-verify + greedy walk + commit for ONE branch spec,
+    """Fork-draft + tree-verify + walk + commit for ONE branch spec,
     starting from the shared catch-up state. The draft cache may carry
     MORE lanes than prod(spec) (adaptive mode sizes it for the widest
     spec); extra lanes duplicate lane ``l % B`` — identical caches, picks
@@ -198,18 +201,52 @@ def _tree_branch(
         position_offsets=jnp.asarray(lay.offsets),
         window_mask=jnp.asarray(lay.mask),
     )
-    preds = jnp.argmax(t_logits[0, :, :verify_vocab], axis=-1).astype(jnp.int32)
+    greedy = sampling is None or sampling.greedy
+    key = s.key
+    if greedy:
+        preds = jnp.argmax(
+            t_logits[0, :, :verify_vocab], axis=-1
+        ).astype(jnp.int32)
+        # --- greedy walk (vectorized over lanes) --------------------------
+        preds_parent = jnp.take(preds, jnp.asarray(lay.parent_rows))
+        cons = chains == preds_parent  # [B, gamma]
+    else:
+        # --- sampled walk: typical acceptance (reference medusa
+        # evaluate_posterior, src/model/medusa/utils.py:274-320): accept a
+        # candidate when its posterior prob at the PARENT node exceeds
+        # min(threshold, alpha * exp(-H(posterior))). NOT an exact match
+        # of the target's sampling distribution (candidates are draft
+        # top-k, not draft samples — same semantics as the reference);
+        # temperature->0 recovers the greedy walk exactly.
+        from duodecoding_tpu.ops.sampling import sample
 
-    # --- greedy walk (vectorized over lanes) ------------------------------
-    preds_parent = jnp.take(preds, jnp.asarray(lay.parent_rows))  # [B, gamma]
-    cons = chains == preds_parent
+        eps, alpha = typical
+        p_win = norm_logits(
+            t_logits[0, :, :verify_vocab],
+            sampling.temperature, sampling.top_k, sampling.top_p,
+        )  # [T, Vv]
+        h = entropy(p_win)  # [T]
+        thr = jnp.minimum(eps, alpha * jnp.exp(-h))  # [T]
+        prows = jnp.asarray(lay.parent_rows)  # [B, gamma]
+        p_parent = jnp.take(p_win, prows, axis=0)  # [B, gamma, Vv]
+        p_cand = jnp.take_along_axis(
+            p_parent, chains[..., None], axis=-1
+        )[..., 0]  # [B, gamma]
+        cons = p_cand > jnp.take(thr, prows)
     m_l = jnp.sum(jnp.cumprod(cons.astype(jnp.int32), axis=1), axis=1)  # [B]
     w = jnp.argmax(m_l).astype(jnp.int32)
     m = jnp.minimum(m_l[w], limit - 1 - n)
     win_rows = jnp.take(jnp.asarray(lay.lane_nodes), w, axis=0)  # [gamma]
     win_chain = chains[w]
-    preds_at_w = jnp.take(preds, win_rows)
-    bonus = jnp.where(m == 0, preds[0], preds_at_w[jnp.maximum(m - 1, 0)])
+    if greedy:
+        preds_at_w = jnp.take(preds, win_rows)
+        bonus = jnp.where(m == 0, preds[0], preds_at_w[jnp.maximum(m - 1, 0)])
+    else:
+        key, k_b = jax.random.split(key)
+        bonus_row = jnp.where(m == 0, 0, win_rows[jnp.maximum(m - 1, 0)])
+        bonus = sample(k_b, jnp.take(p_win, bonus_row, axis=0)[None, :])[
+            0, 0
+        ].astype(jnp.int32)
 
     # --- commit ------------------------------------------------------------
     tokens = jax.lax.dynamic_update_slice(s.tokens, win_chain[None, :], (0, n))
@@ -250,6 +287,7 @@ def _tree_branch(
     return KTreeState(
         tokens=tokens,
         n_tokens=n_new,
+        key=key,
         draft_cache=d_cache,
         target_cache=t_cache,
         done=done,
@@ -271,6 +309,8 @@ def tree_iteration_adaptive(
     gap_thresholds: tuple[float, ...],
     eos_ids: tuple[int, ...],
     limit: jax.Array,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
 ) -> KTreeState:
     """Dynamic per-iteration tree-width selection (reference
     ``generate_k_seq`` parity: src/model_cpu.py:138-252 picks k in
@@ -316,6 +356,8 @@ def tree_iteration_adaptive(
                 spec=sp,
                 eos_ids=eos_ids,
                 limit=limit,
+                sampling=sampling,
+                typical=typical,
             )
 
         return branch
@@ -335,6 +377,8 @@ def tree_iteration(
     spec: tuple[int, ...],
     eos_ids: tuple[int, ...],
     limit: jax.Array,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
 ) -> KTreeState:
     verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
     gamma = len(spec)
@@ -368,6 +412,8 @@ def tree_iteration(
             spec=spec,
             eos_ids=eos_ids,
             limit=limit,
+            sampling=sampling,
+            typical=typical,
         )
 
     # --- draft: catch-up (re-sync all lanes), branch, pick ----------------
@@ -505,6 +551,7 @@ def tree_iteration(
     return KTreeState(
         tokens=tokens,
         n_tokens=n_new,
+        key=s.key,
         draft_cache=d_cache,
         target_cache=t_cache,
         done=done,
@@ -521,6 +568,8 @@ def tree_iteration(
         "draft_cfg",
         "target_cfg",
         "spec",
+        "sampling",
+        "typical",
         "max_new_tokens",
         "eos_ids",
         "prefill_plan",
@@ -538,11 +587,15 @@ def tree_generate(
     draft_cfg: ModelConfig,
     target_cfg: ModelConfig,
     spec: tuple[int, ...],
+    key: jax.Array | None = None,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
     prefill_plan: tuple[int, ...] | None = None,
 ):
-    """Full branch-spec tree-SD generation on device (greedy).
+    """Full branch-spec tree-SD generation on device (greedy argmax walk,
+    or sampled typical-acceptance when ``sampling`` has temperature > 0).
 
     Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
     With ``prefill_plan`` (loops.py::prefill_plan_for) both tiers' prompt
@@ -583,12 +636,15 @@ def tree_generate(
             spec=spec,
             eos_ids=eos_ids,
             limit=limit,
+            sampling=sampling,
+            typical=typical,
         )
 
     gamma = len(spec)
     init = KTreeState(
         tokens=tokens,
         n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        key=key if key is not None else jax.random.PRNGKey(0),
         draft_cache=draft_cache,
         target_cache=target_cache,
         done=jnp.zeros((tokens.shape[0],), bool),
@@ -616,6 +672,8 @@ def tree_generate(
         "target_cfg",
         "specs",
         "gap_thresholds",
+        "sampling",
+        "typical",
         "max_new_tokens",
         "eos_ids",
         "prefill_plan",
@@ -634,11 +692,14 @@ def tree_generate_adaptive(
     target_cfg: ModelConfig,
     specs: tuple[tuple[int, ...], ...],
     gap_thresholds: tuple[float, ...],
+    key: jax.Array | None = None,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
     max_new_tokens: int = 128,
     eos_ids: tuple[int, ...] = (),
     prefill_plan: tuple[int, ...] | None = None,
 ):
-    """Tree SD with per-iteration width selection (greedy).
+    """Tree SD with per-iteration width selection.
 
     ``specs`` are ordered confident-to-uncertain (narrow/deep first);
     ``gap_thresholds`` (len == len(specs) - 1, descending) map the draft's
@@ -682,11 +743,14 @@ def tree_generate_adaptive(
             gap_thresholds=gap_thresholds,
             eos_ids=eos_ids,
             limit=limit,
+            sampling=sampling,
+            typical=typical,
         )
 
     init = KTreeState(
         tokens=tokens,
         n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        key=key if key is not None else jax.random.PRNGKey(0),
         draft_cache=draft_cache,
         target_cache=target_cache,
         done=jnp.zeros((tokens.shape[0],), bool),

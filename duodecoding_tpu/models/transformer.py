@@ -217,22 +217,19 @@ def forward(
         and (B >= 2 or S > 2048)
         and os.environ.get("DUODEC_NO_FLASH") != "1"
     )
-    # int8-flash: correct (unit + on-chip validated incl. inside plain
-    # while_loops, T in {1,2,5}) but the COMPOSITION of its pallas
-    # instances inside the engine's nested while/cond decode programs
-    # hits a pathological remote-compile path (>15 min); keep the
-    # fused dense-dequant route as the in-loop default and use the
-    # kernel for single-dispatch (serving) contexts
-    use_flash = (
-        flash_ok
-        and quantized_kv
-        and os.environ.get("DUODEC_INT8_FLASH") == "1"
+    # Both cache dtypes use the STACKED kernel (whole cache +
+    # scalar-prefetched layer index + fresh-window operands): zero-copy
+    # layer reads, O(valid) traffic, no in-scan cache writes
+    # (ops/pallas/flash_decode.py::flash_decode_stacked). For int8 caches
+    # the kernel folds K scales into score columns / V scales into prob
+    # rows in-kernel (exact) — this replaced the round-2 non-stacked
+    # write-then-read int8 path, whose scan-sliced cache operand forced a
+    # per-layer slice materialisation and whose composition inside nested
+    # while programs hit a pathological remote compile.
+    # DUODEC_INT8_FLASH=0 is the int8 kill-switch.
+    use_stacked_flash = flash_ok and (
+        not quantized_kv or os.environ.get("DUODEC_INT8_FLASH") != "0"
     )
-    # bf16 caches use the STACKED kernel (whole cache + scalar-prefetched
-    # layer index + fresh-window operands): zero-copy layer reads, O(valid)
-    # traffic, no in-scan cache writes (ops/pallas/flash_decode.py
-    # ::flash_decode_stacked)
-    use_stacked_flash = flash_ok and not quantized_kv
 
     # INT4-quantized weights (dicts of stacked [L, ...] leaves) are NOT fed
     # through scan xs: a pallas call cannot consume a scan-sliced operand
@@ -257,11 +254,11 @@ def forward(
         return x @ w
 
     def layer_fn(h, xs):
-        if quantized_kv:
-            idx, lp, k_cache, v_cache, k_sc, v_sc = xs
-        elif use_stacked_flash:
+        if use_stacked_flash:
             idx, lp = xs  # cache read via the stacked kernel (closure)
             k_cache = v_cache = None
+        elif quantized_kv:
+            idx, lp, k_cache, v_cache, k_sc, v_sc = xs
         else:
             idx, lp, k_cache, v_cache = xs
 
@@ -308,36 +305,23 @@ def forward(
             gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
             return h + wmm(gate * u, "w_down")
 
-        if use_flash:
-            # int8-flash path (use_flash implies quantized_kv — bf16 caches
-            # route to use_stacked_flash): the flash kernel reads the
-            # UPDATED cache slice (write-then-read); ys stay full slices
-            k_codes, k_s = quantize_kv(k)
-            v_codes, v_s = quantize_kv(v)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_codes, (0, start, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_codes, (0, start, 0, 0)
-            )
-            k_sc = jax.lax.dynamic_update_slice(k_sc, k_s, (0, start, 0))
-            v_sc = jax.lax.dynamic_update_slice(v_sc, v_s, (0, start, 0))
-            from duodecoding_tpu.ops.pallas.flash_decode import (
-                flash_decode_attention,
-            )
-
-            # in-kernel int8 dequant: the bf16 cache never materialises
-            ctx = flash_decode_attention(
-                q, k_cache, v_cache, start, k_sc, v_sc,
-                block_k=flash_block,
-            ).astype(h.dtype)
-            return finish(ctx, h), (k_cache, v_cache, k_sc, v_sc)
-
         if use_stacked_flash:
             from duodecoding_tpu.ops.pallas.flash_decode import (
                 flash_decode_stacked,
             )
 
+            if quantized_kv:
+                k_codes, k_s = quantize_kv(k)
+                v_codes, v_s = quantize_kv(v)
+                # window keys/values round-trip through int8 so the math
+                # matches reading them back from the quantized cache
+                k_win = dequantize_kv(k_codes, k_s, h.dtype)
+                v_win = dequantize_kv(v_codes, v_s, h.dtype)
+                ctx = flash_decode_stacked(
+                    q, cache.k, cache.v, k_win, v_win, start, idx,
+                    cache.k_scale, cache.v_scale, block_k=flash_block,
+                ).astype(h.dtype)
+                return finish(ctx, h), (k_codes, v_codes, k_s, v_s)
             ctx = flash_decode_stacked(
                 q, cache.k, cache.v, k, v, start, idx,
                 block_k=flash_block,
@@ -421,15 +405,22 @@ def forward(
         return jax.lax.dynamic_update_slice(buf, rows, idx)
 
     if quantized_kv:
-        xs = (idxs, arr_layers, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        xs = (
+            (idxs, arr_layers)
+            if use_stacked_flash
+            else (
+                idxs, arr_layers, cache.k, cache.v,
+                cache.k_scale, cache.v_scale,
+            )
+        )
         h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
             layer_fn, h, xs, unroll=unroll
         )
-        if not use_flash:  # dense path: ys are the [L, B, T] fresh rows
-            new_k = write_rows(cache.k, new_k)
-            new_v = write_rows(cache.v, new_v)
-            new_ks = write_rows(cache.k_scale, new_ks)
-            new_vs = write_rows(cache.v_scale, new_vs)
+        # ys are the [L, B, T] fresh rows; one post-scan window write
+        new_k = write_rows(cache.k, new_k)
+        new_v = write_rows(cache.v, new_v)
+        new_ks = write_rows(cache.k_scale, new_ks)
+        new_vs = write_rows(cache.v_scale, new_vs)
         new_cache = QuantKVCache(
             k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
         )
@@ -440,9 +431,8 @@ def forward(
             else (idxs, arr_layers, cache.k, cache.v)
         )
         h, (new_k, new_v) = jax.lax.scan(layer_fn, h, xs, unroll=unroll)
-        if not use_flash:
-            new_k = write_rows(cache.k, new_k)
-            new_v = write_rows(cache.v, new_v)
+        new_k = write_rows(cache.k, new_k)
+        new_v = write_rows(cache.v, new_v)
         new_cache = KVCache(k=new_k, v=new_v, length=start + T)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]

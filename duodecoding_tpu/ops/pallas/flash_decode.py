@@ -218,17 +218,16 @@ def _kernel_stacked(
     q_ref,  # [1, Hkv, RT, D]
     k_ref,  # [1, 1, block_k, Hkv, D] — layer block of the stacked cache
     v_ref,  # [1, 1, block_k, Hkv, D]
-    kn_ref,  # [1, T, Hkv, D] — the window's FRESH keys (not yet cached)
-    vn_ref,  # [1, T, Hkv, D]
-    o_ref,  # [1, Hkv, RT, D]
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *rest,  # quant: ks_ref/vs_ref [1, 1, block_k, Hkv]; then kn/vn/outputs
     block_k: int,
     T: int,
     scale: float,
+    quant: bool = False,
 ):
+    if quant:
+        ks_ref, vs_ref, kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
     del lidx_ref
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -261,6 +260,11 @@ def _kernel_stacked(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
+            if quant:
+                # int8 dequant folded into score columns / prob rows —
+                # exact (per-position scales factor out of the dots), the
+                # same folding as the non-stacked quant kernel
+                s = s * ks_ref[0, 0, :, h][None, :]
             s = jnp.where(visible, s, NEG_INF)
 
             a, b = h * RTp, h * RTp + RT
@@ -274,6 +278,8 @@ def _kernel_stacked(
                 alpha * l_prev + jnp.sum(p, axis=1, keepdims=True),
                 (RT, l_scr.shape[1]),
             )
+            if quant:
+                p = p * vs_ref[0, 0, :, h][None, :]
             acc_scr[a:b, :] = acc_scr[a:b, :] * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -320,6 +326,8 @@ def flash_decode_stacked(
     v_new: jax.Array,  # [B, T, Hkv, D]
     length: jax.Array,  # scalar int32 — valid prefix positions
     layer: jax.Array,  # scalar int32 — layer index into the stacked cache
+    k_scale_all: jax.Array | None = None,  # [L, B, S, Hkv] f32 (int8 cache)
+    v_scale_all: jax.Array | None = None,
     *,
     block_k: int = 256,
     interpret: bool = False,
@@ -337,6 +345,13 @@ def flash_decode_stacked(
       writes the cache once per forward (models/transformer.py
       write_rows) instead of restacking it, and the kernel reads only
       ceil(length/block_k) blocks — O(valid) HBM traffic.
+
+    With ``k_scale_all``/``v_scale_all`` the stacked cache holds int8
+    codes (models/kv_quant.py): K scales fold into score columns and V
+    scales into probability rows in-kernel (exact — scales factor out of
+    the dots), halving prefix HBM traffic; the fresh window stays the
+    caller-provided (already dequantized) bf16 k/v so numerics match the
+    dense int8 path bit-for-bit.
 
     Returns [B, T, H, D] in q.dtype.
     """
@@ -357,6 +372,7 @@ def flash_decode_stacked(
     n_blocks = jnp.maximum((length + block_k - 1) // block_k, 1)
     layer = jnp.asarray(layer, jnp.int32)
     RTp = _rt_pad(RT)
+    quant = k_scale_all is not None
 
     def q_map(b, j, nb, ln, l):
         return (b, 0, 0, 0)
@@ -364,23 +380,40 @@ def flash_decode_stacked(
     def kv_map(b, j, nb, ln, l):
         return (l[0], b, jnp.minimum(j, nb[0] - 1), 0, 0)
 
+    def sc_map(b, j, nb, ln, l):
+        return (l[0], b, jnp.minimum(j, nb[0] - 1), 0)
+
     def w_map(b, j, nb, ln, l):
         return (b, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, Hkv, RT, D), q_map),
+        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
+        pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
+    ]
+    args = [qg, k_all, v_all]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_k, Hkv), sc_map),
+            pl.BlockSpec((1, 1, block_k, Hkv), sc_map),
+        ]
+        args += [
+            k_scale_all.astype(jnp.float32), v_scale_all.astype(jnp.float32)
+        ]
+    in_specs += [
+        pl.BlockSpec((1, T, Hkv, D), w_map),
+        pl.BlockSpec((1, T, Hkv, D), w_map),
+    ]
+    args += [k_new, v_new]
+
     out = pl.pallas_call(
         functools.partial(
-            _kernel_stacked, block_k=block_k, T=T, scale=scale
+            _kernel_stacked, block_k=block_k, T=T, scale=scale, quant=quant
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, S // block_k),
-            in_specs=[
-                pl.BlockSpec((1, Hkv, RT, D), q_map),
-                pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
-                pl.BlockSpec((1, 1, block_k, Hkv, D), kv_map),
-                pl.BlockSpec((1, T, Hkv, D), w_map),
-                pl.BlockSpec((1, T, Hkv, D), w_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hkv, RT, D), q_map),
             scratch_shapes=[
                 pltpu.VMEM((Hkv * RTp, 128), jnp.float32),
@@ -391,8 +424,7 @@ def flash_decode_stacked(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),
         interpret=interpret,
     )(
-        n_blocks.reshape(1), length.reshape(1), layer.reshape(1),
-        qg, k_all, v_all, k_new, v_new,
+        n_blocks.reshape(1), length.reshape(1), layer.reshape(1), *args
     )
 
     return out.reshape(B, Hkv, rep, T, D).transpose(0, 3, 1, 2, 4).reshape(

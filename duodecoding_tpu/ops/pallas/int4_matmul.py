@@ -261,6 +261,12 @@ def _int4_matmul_2d(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
+        # a raised VMEM budget lets Mosaic buffer the packed-block
+        # pipeline deeper: +7/+11 points of HBM-roof fraction at M=40/72
+        # (3-rep means, tools/kernel_lab.py base vs base+vmem)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=12 * 1024 * 1024
+        ),
         interpret=interpret,
     )(x.astype(jnp.bfloat16), packed, scales, zeros)
 
@@ -318,6 +324,9 @@ def _int4_matmul_2d_stacked(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=12 * 1024 * 1024
+        ),
         interpret=interpret,
     )(lidx, x.astype(jnp.bfloat16), packed, scales, zeros)
 
@@ -336,8 +345,11 @@ def _pick_tile_n(n: int, k: int) -> int:
 
 
 def _pick_tile_m(m: int, k: int) -> int:
-    # keep the x block (TM x K bf16) under ~2 MB of VMEM
-    cap = max(8, (2 * 1024 * 1024 // (2 * k)) // 8 * 8)
+    # keep the x block (TM x K bf16) under ~4 MB of VMEM. The cap sets the
+    # M-tile cliff: at K=13824 (13B w_down) a 2 MB cap split M>72 into two
+    # tiles = a second full weight stream (measured 29.6% -> 54.3% of the
+    # HBM roof at M=80 after raising to 4 MB, tools/kernel_lab.py).
+    cap = max(8, (4 * 1024 * 1024 // (2 * k)) // 8 * 8)
     return min(m, cap)
 
 

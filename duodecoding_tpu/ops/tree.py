@@ -130,3 +130,28 @@ def best_greedy_path(tree: DraftTree, argmax_tokens: np.ndarray, root_pred: int)
         pred = int(argmax_tokens[nxt])
         cur = nxt
     return chain, int(pred)
+
+
+def best_accept_path(tree: DraftTree, flags) -> List[int]:
+    """Longest root-anchored chain of ACCEPTED nodes (typical-acceptance
+    sampled verification, reference src/model/medusa/utils.py:274-320:
+    pick the candidate with the longest accepted prefix). ``flags[i]`` =
+    node i's token passed the threshold test at its parent. BFS order
+    guarantees parents precede children."""
+    n = tree.n_nodes
+    chains: dict[int, List[int] | None] = {}
+    best: List[int] = []
+    for i in range(n):
+        if not bool(flags[i]):
+            chains[i] = None
+            continue
+        p = int(tree.parent[i])
+        if p == -1:
+            chains[i] = [i]
+        else:
+            pc = chains.get(p)
+            chains[i] = (pc + [i]) if pc is not None else None
+        c = chains[i]
+        if c is not None and len(c) > len(best):
+            best = c
+    return best

@@ -128,3 +128,43 @@ class TestStackedFlash:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
         )
+
+
+class TestStackedFlashInt8:
+    """int8 stacked kernel: in-kernel scale folding must equal dequantizing
+    the whole cache and running the dense reference."""
+
+    @pytest.mark.parametrize(
+        "L,B,T,H,Hkv,D,S,length,layer",
+        [
+            (2, 1, 1, 4, 2, 64, 256, 17, 1),
+            (3, 2, 5, 4, 4, 64, 512, 200, 2),
+            (2, 1, 2, 4, 2, 64, 256, 128, 0),
+        ],
+    )
+    def test_matches_dense(self, L, B, T, H, Hkv, D, S, length, layer):
+        from duodecoding_tpu.models.kv_quant import dequantize_kv, quantize_kv
+        from duodecoding_tpu.ops.pallas.flash_decode import (
+            flash_decode_stacked,
+        )
+
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        kf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        vf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        k_codes, k_s = quantize_kv(kf)
+        v_codes, v_s = quantize_kv(vf)
+        k_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        out = flash_decode_stacked(
+            q, k_codes, v_codes, k_new, v_new, jnp.int32(length),
+            jnp.int32(layer), k_s, v_s, block_k=128, interpret=True,
+        )
+        kd = dequantize_kv(k_codes[layer], k_s[layer], jnp.float32)
+        vd = dequantize_kv(v_codes[layer], v_s[layer], jnp.float32)
+        kc = kd.at[:, length : length + T].set(k_new)
+        vc = vd.at[:, length : length + T].set(v_new)
+        ref = flash_decode_reference(q, kc, vc, jnp.int32(length))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )

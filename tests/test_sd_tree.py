@@ -73,10 +73,41 @@ def test_sd_tree_registered_aliases():
     assert get_decoding_mode("sd_kseq") is get_decoding_mode("sd_tree")
 
 
-def test_sd_tree_rejects_sampling():
-    eng = make_engine(temperature=0.7)
-    with pytest.raises(NotImplementedError):
-        eng.run("sd_tree", PROMPT)
+def test_sd_tree_temperature_typical_acceptance():
+    """temp > 0: typical-acceptance sampled verification (reference medusa
+    evaluate_posterior semantics). Runs to completion, emits the budget,
+    accepts when the pair agrees, and is reproducible per engine seed."""
+    eng = make_engine(temperature=0.7, seed=11)
+    out, m = eng.run("sd_tree", PROMPT, tree_spec="3,2,1")
+    assert m["generated_tokens"] == 16
+    assert out.shape[1] == PROMPT.shape[1] + 16
+    assert 0 <= m["draft_accepted_tokens"] <= m["draft_generated_tokens"]
+    eng2 = make_engine(temperature=0.7, seed=11)
+    out2, _ = eng2.run("sd_tree", PROMPT, tree_spec="3,2,1")
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_sd_tree_typical_acceptance_formula():
+    """The sampled walk implements the reference formula exactly: accept
+    candidate x at a node iff p_parent(x) > min(eps, alpha*exp(-H(p)))
+    (reference src/model/medusa/utils.py:274-320). Pinning eps/alpha at
+    the extremes pins the accept behavior."""
+    eng = make_engine(temperature=0.7, seed=3)
+    # threshold -inf-ish: accept anything the draft proposes -> commits
+    # gamma+1 per iteration, so loop count hits the minimum
+    _, m_all = eng.run(
+        "sd_tree", PROMPT, tree_spec="2,1,1",
+        posterior_threshold=0.0, posterior_alpha=0.0,
+    )
+    # threshold 1: nothing can exceed prob 1 -> every iteration commits
+    # exactly 1 (the sampled bonus)
+    _, m_none = eng.run(
+        "sd_tree", PROMPT, tree_spec="2,1,1",
+        posterior_threshold=1.0, posterior_alpha=1e9,
+    )
+    assert m_all["draft_accepted_tokens"] == m_all["draft_generated_tokens"]
+    assert m_none["draft_accepted_tokens"] == 0
+    assert m_none["loop_times"] == 16
 
 
 def test_sd_tree_short_prompt_raises():
@@ -186,3 +217,47 @@ def test_sd_tree_dynamic_width_lossless_and_switching():
     # pinned-wide spec has gamma 2 rows, pinned-narrow gamma 4
     assert mw["avg_draft_len"] == 2.0
     assert mn["avg_draft_len"] == 4.0
+
+
+def test_tree_sample_step_matches_reference_formula():
+    """tree_sample_step's accept flags reproduce the reference formula
+    p_parent(tok) > min(eps, alpha*exp(-H(p_parent)))
+    (src/model/medusa/utils.py:274-320) against a numpy recomputation."""
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.modes.rest import tree_sample_step
+    from duodecoding_tpu.engine.sampling_config import SamplingConfig
+    from duodecoding_tpu.models import init_random_params, resolve_config
+    from duodecoding_tpu.models.transformer import init_cache
+
+    cfg = resolve_config("test-tiny")
+    params = init_random_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    cache = init_cache(cfg, 1, 64, jnp.float32)
+    W = 8
+    win = np.array([[5, 9, 2, 14, 27, 3, 11, 6]], np.int32)
+    offsets = np.arange(W, dtype=np.int32)
+    mask = np.tril(np.ones((W, W), bool))
+    parent_rows = np.array([2, 3, 3], np.int32)
+    node_tokens = np.array([14, 27, 9], np.int32)
+    sampling = SamplingConfig(temperature=0.7, top_k=0, top_p=0.0)
+    eps, alpha = 0.09, 0.3
+    sampled, flags, hidden, _ = tree_sample_step(
+        params.copy(), jnp.asarray(win), jnp.asarray(offsets),
+        jnp.asarray(mask), jnp.asarray(parent_rows),
+        jnp.asarray(node_tokens), jax.random.PRNGKey(1), cache,
+        cfg=cfg, sampling=sampling, typical=(eps, alpha),
+    )
+    # numpy recomputation from raw logits
+    from duodecoding_tpu.models.transformer import forward
+
+    cache2 = init_cache(cfg, 1, 64, jnp.float32)
+    logits, _ = forward(
+        params, cfg, jnp.asarray(win), cache2,
+        position_offsets=jnp.asarray(offsets), window_mask=jnp.asarray(mask),
+    )
+    p = np.asarray(jax.nn.softmax(np.asarray(logits[0]) / 0.7, axis=-1))
+    h = -np.sum(p * np.log(np.maximum(p, 1e-12)), axis=-1)
+    thr = np.minimum(eps, alpha * np.exp(-h))
+    want = p[parent_rows, node_tokens] > thr[parent_rows]
+    np.testing.assert_array_equal(np.asarray(flags), want)

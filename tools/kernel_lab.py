@@ -342,6 +342,42 @@ def body_zdot_pair(x, read_p, read_s, read_z, o_ref, *, gs, K):
     o_ref[:] = acc
 
 
+def _u_u8mask(p, which):
+    """Mask/shift in uint8 (4x denser VPU vectors), then widen+convert."""
+    if which == 0:
+        n = p & jnp.uint8(0xF)
+    else:
+        n = p >> jnp.uint8(4)
+    return n.astype(jnp.int32).astype(jnp.bfloat16)
+
+
+def body_u8mask(x, rp, rs, rz, o, *, gs, K):
+    _per_group(x, rp, rs, rz, o, gs=gs, K=K, unpack=_u_u8mask, magic=False)
+
+
+def body_pair_u8(x, read_p, read_s, read_z, o_ref, *, gs, K):
+    """pair structure + uint8 mask/shift before the widen."""
+    half = K // 2
+    g_half = half // gs
+    TM = x.shape[0]
+    acc = jnp.zeros((TM, o_ref.shape[1]), jnp.float32)
+    for g in range(g_half):
+        a = g * gs
+        w = read_p(a, a + gs)
+        lo = (w & jnp.uint8(0xF)).astype(jnp.int32).astype(jnp.bfloat16)
+        hi = (w >> jnp.uint8(4)).astype(jnp.int32).astype(jnp.bfloat16)
+        gl, gh = g, g + g_half
+        xl = x[:, a : a + gs]
+        xh = x[:, half + a : half + a + gs]
+        pl_ = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+        ph_ = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+        xsl = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+        xsh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (pl_ * read_s(gl, gl + 1) + xsl * read_z(gl, gl + 1))
+        acc = acc + (ph_ * read_s(gh, gh + 1) + xsh * read_z(gh, gh + 1))
+    o_ref[:] = acc
+
+
 BODIES = {
     "base": body_base,
     "f32cast": body_f32cast,
@@ -351,6 +387,8 @@ BODIES = {
     "twoacc": body_twoacc,
     "pair": body_pair,
     "zdot": body_zdot,
+    "u8mask": body_u8mask,
+    "pair_u8": body_pair_u8,
     "zdot_pair": body_zdot_pair,
     "pair2": body_pair2,
     "diag_noaffine": body_diag_noaffine,
@@ -369,16 +407,24 @@ def _pick_tile_n(n: int, k: int) -> int:
     return 128
 
 
-def make_stacked(body_name: str, tile_n: int | None = None):
+def make_stacked(body_name: str, tile_n: int | None = None,
+                 parallel: bool = False, vmem_mb: int | None = None,
+                 xblock_mb: int = 2):
     body = BODIES[body_name]
+    cp = {}
+    if parallel:
+        cp["dimension_semantics"] = ("parallel", "parallel")
+    if vmem_mb:
+        cp["vmem_limit_bytes"] = vmem_mb * 1024 * 1024
+    compiler_params = pltpu.CompilerParams(**cp) if cp else None
 
     @functools.partial(jax.jit, static_argnames=("gs", "tn"))
-    def run(x, packed, scales, zeros, layer, gs, tn):
+    def run(x, packed, scales, zeros, layer, gs, tn):  # noqa: B023
         M, K = x.shape
         N = packed.shape[2]
         n_groups = K // gs
         TM = max(8, ((M + 7) // 8) * 8)
-        TM = min(TM, max(8, (2 * 1024 * 1024 // (2 * K)) // 8 * 8))
+        TM = min(TM, max(8, (xblock_mb * 1024 * 1024 // (2 * K)) // 8 * 8))
         Mp = ((M + TM - 1) // TM) * TM
         if Mp != M:
             x = jnp.pad(x, ((0, Mp - M), (0, 0)))
@@ -416,6 +462,7 @@ def make_stacked(body_name: str, tile_n: int | None = None):
                 bytes_accessed=K // 2 * N + 8 * n_groups * N + Mp * K * 2,
                 transcendentals=0,
             ),
+            compiler_params=compiler_params,
         )(lidx, x.astype(jnp.bfloat16), packed, scales, zeros)
         return out[:M]
 
@@ -595,7 +642,10 @@ def check_correct(fn, gs=128):
     return True
 
 
-def sweep(Ms, variants, K=5120, N=13824, gs=128, nw=8):
+def sweep(Ms, variants, K=None, N=None, gs=128, nw=8):
+    import os
+    K = K or int(os.environ.get("LAB_K", "5120"))
+    N = N or int(os.environ.get("LAB_N", "13824"))
     prof = PerformanceProfiler()
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.02
     q = quantize_int4(w, group_size=gs)
@@ -637,6 +687,14 @@ if __name__ == "__main__":
         for n in names:
             if n.startswith("kgrid"):
                 variants[n] = make_kgrid(int(n[5:] or 8))
+            elif n.endswith("+par"):
+                variants[n] = make_stacked(n[:-4], parallel=True)
+            elif n.endswith("+vmem"):
+                variants[n] = make_stacked(n[:-5], vmem_mb=12)
+            elif n.endswith("+m4"):
+                variants[n] = make_stacked(n[:-3], xblock_mb=4)
+            elif n.endswith("+best"):
+                variants[n] = make_stacked(n[:-5], xblock_mb=4, vmem_mb=12)
             else:
                 variants[n] = make_stacked(n)
     else:
