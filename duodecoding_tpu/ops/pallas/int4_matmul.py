@@ -344,13 +344,35 @@ def _pick_tile_n(n: int, k: int) -> int:
     return 0
 
 
-def _pick_tile_m(m: int, k: int) -> int:
-    # keep the x block (TM x K bf16) under ~4 MB of VMEM. The cap sets the
-    # M-tile cliff: at K=13824 (13B w_down) a 2 MB cap split M>72 into two
-    # tiles = a second full weight stream (measured 29.6% -> 54.3% of the
-    # HBM roof at M=80 after raising to 4 MB, tools/kernel_lab.py).
-    cap = max(8, (4 * 1024 * 1024 // (2 * k)) // 8 * 8)
-    return min(m, cap)
+def _pick_tile_m(m: int, k: int, tile_n: int, group_size: int) -> int:
+    """M-tile under the Mosaic scoped-VMEM limit (12 MB on the pallas
+    calls), from a byte model FITTED TO ON-CHIP COMPILE PROBES at the 13B
+    w_down shape (tools/vmem_probe.py): double-buffered x block, packed
+    block double-buffered plus ~2 B/packed-byte of unpack temporaries that
+    DOUBLE once the grid has >1 M-tile (Mosaic pipelines the unpack across
+    grid steps), double-buffered affine rows, and the out tile. Probe data
+    (K=13824, tile_n=128): single-tile OK<=128 / OOM@144 (12.13M);
+    multi-tile OK@96 / OOM@112 (12.27M) — the model reproduces all four.
+
+    A single tile is strongly preferred: each extra M-tile re-streams the
+    whole weight from HBM (the old 72-row cliff measured 1.5x iteration
+    cost on wide tree specs; M=80 went 29.6% -> 57.6% of roof when it
+    became single-tile)."""
+    budget = 11 * 1024 * 1024  # 1 MB headroom under the 12 MB limit
+    p = (k // 2) * tile_n  # packed block bytes
+    a = 16 * (k // group_size) * tile_n  # scales+zeros, double-buffered
+
+    def fits(tm: int, multi: bool) -> bool:
+        unpack = (4 if multi else 2) * p
+        return 4 * tm * k + 2 * p + unpack + a + 8 * tm * tile_n <= budget
+
+    mp = max(8, ((m + 7) // 8) * 8)
+    if fits(mp, False):
+        return mp  # whole M in one tile — one weight stream
+    tm = mp // 8 * 8
+    while tm > 8 and not fits(tm, True):
+        tm -= 8
+    return tm
 
 
 def int4_matmul(
@@ -410,7 +432,7 @@ def int4_matmul(
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-    tile_m = _pick_tile_m(max(8, ((M + 7) // 8) * 8), K)
+    tile_m = _pick_tile_m(M, K, tile_n, gs)
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
