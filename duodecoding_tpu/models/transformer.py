@@ -141,6 +141,7 @@ def forward(
     return_hidden: bool = False,
     position_offsets: jax.Array | None = None,  # [T] rope offsets from start
     window_mask: jax.Array | None = None,  # [T, T] intra-window visibility
+    active: jax.Array | None = None,  # [B] bool — per-row caches only
 ):
     """Run the transformer over ``tokens`` starting at ``cache.length``.
 
@@ -153,6 +154,13 @@ def forward(
     src/model/medusa/utils.py:233): token i gets rope position
     ``start + position_offsets[i]`` (its tree depth) and attends the prefix
     plus the window positions where ``window_mask[i, j]`` (its ancestors).
+
+    ``cache.length`` may be a scalar (engine modes — all rows share one
+    position) or a per-row ``[B]`` vector (continuous batching,
+    serving/batched.py): row b's window starts at ``length[b]``, its KV
+    rows are written at its own offset, and ``active=False`` rows neither
+    write the cache nor advance — the vectorized generalization of the
+    reference's strictly batch-1 loops (SURVEY appendix scalarization).
     """
     from duodecoding_tpu.models.kv_quant import (
         QuantKVCache,
@@ -164,13 +172,16 @@ def forward(
     B, T = tokens.shape
     S = cache.max_len
     h = jnp.take(params["embed"], tokens, axis=0)
-    start = cache.length
+    start = jnp.asarray(cache.length, jnp.int32)
+    per_row = start.ndim == 1
+    if per_row and active is None:
+        active = jnp.ones((B,), bool)
     offsets = (
         jnp.arange(T, dtype=jnp.int32)
         if position_offsets is None
         else position_offsets.astype(jnp.int32)
     )
-    positions = start + offsets[None, :]
+    positions = jnp.reshape(start, (-1, 1)) + offsets[None, :]
     positions = jnp.broadcast_to(positions, (B, T))
 
     # Attention is split into a PREFIX part (cache positions < start, read
@@ -183,7 +194,8 @@ def forward(
     # cache write per step, and for multi-lane tree drafting (B = 16
     # lanes, engine/tree_loops.py) ~0.5 GB of HBM traffic per draft step.
     k_pos = jnp.arange(S, dtype=jnp.int32)  # [S]
-    mask_pre = k_pos < start  # [S] — prefix visibility (same for all rows)
+    # prefix visibility: [1, S] (scalar length) or [B, S] (per-row lengths)
+    mask_pre = k_pos[None, :] < jnp.reshape(start, (-1, 1))
     if window_mask is None:
         # fresh token j sits at position start + j; query i is at
         # start + offsets[i] — causal within the window
@@ -200,9 +212,23 @@ def forward(
     from duodecoding_tpu.ops.pallas.flash_decode import pick_flash_block
 
     flash_block = pick_flash_block(S, cfg.num_kv_heads, cfg.head_dim_)
+    # tree windows (ancestor-masked, offset rope positions) can run the
+    # SAME stacked kernel with the [T, T] mask as an operand: rope happens
+    # on the q/k operands outside the kernel and every window row sees the
+    # whole valid prefix, so only the intra-window visibility changes.
+    # OPT-IN (DUODEC_TREE_FLASH=1): measured on-chip at the 13B bench
+    # shapes (S=512, T=40 verify) the kernel is iteration-neutral
+    # (30.5 vs 29.7 ms/iter) but the nested-while remote compile cost 4x
+    # (427 s vs 112 s) — the dense path stays the default until caches
+    # are long enough for O(valid) reads to pay for that.
+    is_tree = window_mask is not None or position_offsets is not None
+    tree_flash = (
+        is_tree
+        and T >= 8  # T=1/2 catch-up windows keep the proven dense path
+        and os.environ.get("DUODEC_TREE_FLASH") == "1"
+    )
     flash_ok = (
-        window_mask is None
-        and position_offsets is None
+        (not is_tree or tree_flash)
         and T * n_rep <= 128
         and flash_block > 0
         and jax.default_backend() == "tpu"
@@ -213,8 +239,11 @@ def forward(
         # kernel took the B=16 draft forward 4.9 -> 1.7 ms) or once the
         # cache is long enough that O(valid) traffic matters. B=1 keeps
         # dense also to stay OUT of the nested-while modes' compile path
-        # (dssd/cee catch-up forwards are B=1, T=2).
-        and (B >= 2 or S > 2048)
+        # (dssd/cee catch-up forwards are B=1, T=2). Tree windows are
+        # T>=8 with per-row masks — the kernel wins there at any B.
+        and (B >= 2 or S > 2048 or tree_flash)
+        and not per_row  # per-row lengths keep the dense path (kernel
+        # block-clamping is scalar; serving attention is batch-amortized)
         and os.environ.get("DUODEC_NO_FLASH") != "1"
     )
     # Both cache dtypes use the STACKED kernel (whole cache +
@@ -310,6 +339,7 @@ def forward(
                 flash_decode_stacked,
             )
 
+            wm = win_mask if is_tree else None
             if quantized_kv:
                 k_codes, k_s = quantize_kv(k)
                 v_codes, v_s = quantize_kv(v)
@@ -319,11 +349,11 @@ def forward(
                 v_win = dequantize_kv(v_codes, v_s, h.dtype)
                 ctx = flash_decode_stacked(
                     q, cache.k, cache.v, k_win, v_win, start, idx,
-                    cache.k_scale, cache.v_scale, block_k=flash_block,
+                    cache.k_scale, cache.v_scale, wm, block_k=flash_block,
                 ).astype(h.dtype)
                 return finish(ctx, h), (k_codes, v_codes, k_s, v_s)
             ctx = flash_decode_stacked(
-                q, cache.k, cache.v, k, v, start, idx,
+                q, cache.k, cache.v, k, v, start, idx, window_mask=wm,
                 block_k=flash_block,
             ).astype(h.dtype)
             return finish(ctx, h), (k, v)
@@ -368,7 +398,7 @@ def forward(
             preferred_element_type=jnp.float32,
         ) * scale
         scores_pre = jnp.where(
-            mask_pre[None, None, None, None, :], scores_pre, -1e30
+            mask_pre[:, None, None, None, :], scores_pre, -1e30
         )
         scores_win = jnp.where(
             win_mask[None, None, None, :, :], scores_win, -1e30
@@ -401,8 +431,31 @@ def forward(
 
     def write_rows(buf, rows):
         # rows [L, B, T, ...] -> one in-place window write into the cache
-        idx = (0, 0, start) + (0,) * (buf.ndim - 3)
-        return jax.lax.dynamic_update_slice(buf, rows, idx)
+        if not per_row:
+            idx = (0, 0, start) + (0,) * (buf.ndim - 3)
+            return jax.lax.dynamic_update_slice(buf, rows, idx)
+
+        # per-row offsets: a vmapped dynamic_update_slice over the batch
+        # axis instead of an advanced-indexing scatter — scatter-in-while
+        # compiles pathologically slowly on the TPU compiler (>9 min at
+        # serving shapes) while batched DUS lowers to a masked store.
+        # Inactive rows keep their current cache contents.
+        def one(bufb, rowsb, pos, act):  # bufb [L, S, ...], rowsb [L, T, ...]
+            idx = (0, pos) + (0,) * (bufb.ndim - 2)
+            cur = jax.lax.dynamic_slice(
+                bufb, idx, (bufb.shape[0], rowsb.shape[1]) + bufb.shape[2:]
+            )
+            return jax.lax.dynamic_update_slice(
+                bufb, jnp.where(act, rowsb, cur), idx
+            )
+
+        return jax.vmap(one, in_axes=(1, 1, 0, 0), out_axes=1)(
+            buf, rows, start, active
+        )
+
+    new_length = (
+        jnp.where(active, start + T, start) if per_row else start + T
+    )
 
     if quantized_kv:
         xs = (
@@ -422,7 +475,7 @@ def forward(
         new_ks = write_rows(cache.k_scale, new_ks)
         new_vs = write_rows(cache.v_scale, new_vs)
         new_cache = QuantKVCache(
-            k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=start + T
+            k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, length=new_length
         )
     else:
         xs = (
@@ -433,7 +486,7 @@ def forward(
         h, (new_k, new_v) = jax.lax.scan(layer_fn, h, xs, unroll=unroll)
         new_k = write_rows(cache.k, new_k)
         new_v = write_rows(cache.v, new_v)
-        new_cache = KVCache(k=new_k, v=new_v, length=start + T)
+        new_cache = KVCache(k=new_k, v=new_v, length=new_length)
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
     if isinstance(head, dict):  # INT4 lm_head (unstacked — no scan slicing)

@@ -218,16 +218,23 @@ def _kernel_stacked(
     q_ref,  # [1, Hkv, RT, D]
     k_ref,  # [1, 1, block_k, Hkv, D] — layer block of the stacked cache
     v_ref,  # [1, 1, block_k, Hkv, D]
-    *rest,  # quant: ks_ref/vs_ref [1, 1, block_k, Hkv]; then kn/vn/outputs
+    *rest,  # quant: ks_ref/vs_ref [1, 1, block_k, Hkv]; masked: wm_ref
+    # [T, T]; then kn/vn/outputs
     block_k: int,
     T: int,
     scale: float,
     quant: bool = False,
+    masked: bool = False,
 ):
+    rest = list(rest)
+    ks_ref = vs_ref = wm_ref = None
     if quant:
-        ks_ref, vs_ref, kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
-    else:
-        kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_ref, vs_ref = rest[:2]
+        rest = rest[2:]
+    if masked:
+        wm_ref = rest[0]
+        rest = rest[1:]
+    kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
     del lidx_ref
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -286,12 +293,21 @@ def _kernel_stacked(
             )
             m_scr[a:b, :] = jnp.broadcast_to(m_next, (RT, m_scr.shape[1]))
 
-    # window block (the T fresh tokens, causal within the window) + output
+    # window block (the T fresh tokens) + output. Visibility within the
+    # window: causal by default, or an arbitrary [T, T] ancestor mask
+    # (tree attention — Medusa/REST-style multi-path verification).
     @pl.when(j == nj - 1)
     def _finalize():
-        t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 0) % T
-        w_col = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 1)
-        visible = w_col <= t_row  # fresh token t sees window cols <= t
+        if masked:
+            rep = RT // T
+            # int32 operand: Mosaic lacks sub-word vector compares on some
+            # targets ("Target does not support this comparison" for int8)
+            wm = wm_ref[...] > 0  # [T, T]
+            visible = jnp.concatenate([wm] * rep, axis=0) if rep > 1 else wm
+        else:
+            t_row = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 0) % T
+            w_col = jax.lax.broadcasted_iota(jnp.int32, (RT, T), 1)
+            visible = w_col <= t_row  # fresh token t sees window cols <= t
         for h in range(Hkv):
             q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
             kw = kn_ref[0, :, h].astype(jnp.float32)  # [T, D]
@@ -328,12 +344,18 @@ def flash_decode_stacked(
     layer: jax.Array,  # scalar int32 — layer index into the stacked cache
     k_scale_all: jax.Array | None = None,  # [L, B, S, Hkv] f32 (int8 cache)
     v_scale_all: jax.Array | None = None,
+    window_mask: jax.Array | None = None,  # [T, T] intra-window visibility
     *,
     block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Layer-indexed flash decode attention over a STACKED cache plus the
     window's fresh keys/values, under one online softmax.
+
+    ``window_mask`` replaces the default causal intra-window visibility
+    with an arbitrary [T, T] ancestor mask — tree attention for
+    multi-path verification (models/transformer.py tree forwards); every
+    window row still sees the whole valid prefix.
 
     Two traps this kills at once (both measured on-chip, CLAUDE.md):
     - a pallas call consuming a scan-sliced cache forces XLA to
@@ -400,6 +422,10 @@ def flash_decode_stacked(
         args += [
             k_scale_all.astype(jnp.float32), v_scale_all.astype(jnp.float32)
         ]
+    masked = window_mask is not None
+    if masked:
+        in_specs += [pl.BlockSpec((T, T), lambda b, j, nb, ln, l: (0, 0))]
+        args += [window_mask.astype(jnp.int32)]
     in_specs += [
         pl.BlockSpec((1, T, Hkv, D), w_map),
         pl.BlockSpec((1, T, Hkv, D), w_map),
@@ -408,7 +434,8 @@ def flash_decode_stacked(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel_stacked, block_k=block_k, T=T, scale=scale, quant=quant
+            _kernel_stacked, block_k=block_k, T=T, scale=scale, quant=quant,
+            masked=masked,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -168,3 +168,79 @@ class TestStackedFlashInt8:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
         )
+
+
+class TestStackedFlashTreeMask:
+    """window_mask variant: arbitrary intra-window (ancestor) visibility
+    must match a dense softmax with the same [T, T] mask; the prefix stays
+    fully visible to every window row."""
+
+    @pytest.mark.parametrize(
+        "L,B,T,H,Hkv,D,S,length,layer,quant",
+        [
+            (2, 1, 10, 4, 2, 64, 256, 33, 1, False),  # GQA tree verify
+            (3, 1, 9, 4, 4, 64, 512, 200, 2, False),  # MHA deep prefix
+            (2, 1, 8, 4, 2, 64, 256, 0, 0, False),  # empty prefix
+            (2, 1, 12, 4, 4, 64, 256, 100, 1, True),  # int8 cache
+        ],
+    )
+    def test_matches_masked_dense(self, L, B, T, H, Hkv, D, S, length, layer, quant):
+        from duodecoding_tpu.ops.pallas.flash_decode import (
+            NEG_INF,
+            flash_decode_stacked,
+        )
+
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        kf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        vf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        k_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        # ancestor-style mask: random lower-triangular pattern with the
+        # diagonal always on (each node sees itself)
+        wm = np.tril(rng.integers(0, 2, (T, T))).astype(bool)
+        np.fill_diagonal(wm, True)
+        wm = jnp.asarray(wm)
+
+        if quant:
+            from duodecoding_tpu.models.kv_quant import (
+                dequantize_kv, quantize_kv,
+            )
+
+            k_codes, k_s = quantize_kv(kf)
+            v_codes, v_s = quantize_kv(vf)
+            out = flash_decode_stacked(
+                q, k_codes, v_codes, k_new, v_new, jnp.int32(length),
+                jnp.int32(layer), k_s, v_s, wm, block_k=128, interpret=True,
+            )
+            k_pre = dequantize_kv(k_codes[layer], k_s[layer], jnp.float32)
+            v_pre = dequantize_kv(v_codes[layer], v_s[layer], jnp.float32)
+        else:
+            k_all = kf.at[:, :, length:].set(1e3)  # stale tail must not leak
+            v_all = vf.at[:, :, length:].set(-1e3)
+            out = flash_decode_stacked(
+                q, k_all, v_all, k_new, v_new, jnp.int32(length),
+                jnp.int32(layer), window_mask=wm, block_k=128, interpret=True,
+            )
+            k_pre, v_pre = k_all[layer], v_all[layer]
+
+        # dense reference: prefix visible to all rows + masked window
+        rep = H // Hkv
+        qg = q.reshape(B, T, Hkv, rep, D)
+        s_pre = jnp.einsum("btgrd,bsgd->bgrts", qg, k_pre) * (D**-0.5)
+        s_pre = jnp.where(
+            (jnp.arange(S) < length)[None, None, None, None, :], s_pre, NEG_INF
+        )
+        s_win = jnp.einsum("btgrd,bwgd->bgrtw", qg, k_new) * (D**-0.5)
+        s_win = jnp.where(wm[None, None, None, :, :], s_win, NEG_INF)
+        probs = jax.nn.softmax(
+            jnp.concatenate([s_pre, s_win], axis=-1), axis=-1
+        )
+        ctx = jnp.einsum(
+            "bgrts,bsgd->btgrd", probs[..., :S], v_pre
+        ) + jnp.einsum("bgrtw,bwgd->btgrd", probs[..., S:], v_new)
+        ref = ctx.reshape(B, T, H, D)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref),
+            rtol=2e-3 if quant else 2e-4, atol=2e-3 if quant else 2e-4,
+        )
