@@ -3,10 +3,12 @@
 The reference is strictly batch-1 (SURVEY appendix: `int(x.item())`
 scalarization throughout); continuous batching is a new TPU-native
 capability (BASELINE.json north star). The single-scalar ``cache.length``
-of models/transformer.py generalizes here to a per-row ``lengths [B]``
-vector: decode steps scatter each row's new KV at its own offset
-(``at[arange(B), lengths]``) and mask attention per row, so slots at
-different positions decode together in one forward.
+of models/transformer.py generalizes to a per-row ``length [B]`` vector
+(models/transformer.py:forward handles both): decode steps write each
+row's new KV at its own offset and mask attention per row, so slots at
+different positions decode together in one forward — and the serving path
+shares ONE forward implementation with the engine modes, inheriting INT4
+weights (fused/stacked Pallas kernels) and INT8 KV caches for free.
 
 Speculative batched serving additionally drafts gamma tokens per slot and
 verifies them in one batched T=gamma+1 forward with per-row offsets —
@@ -17,124 +19,42 @@ batch-first from the start.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
-from duodecoding_tpu.models.transformer import _rms_norm, _rope
+from duodecoding_tpu.models.kv_quant import QuantKVCache, init_quant_cache
+from duodecoding_tpu.models.transformer import KVCache, forward, init_cache
 from duodecoding_tpu.ops.sampling import norm_logits, sample
 
-
-class BatchedCache(NamedTuple):
-    k: jax.Array  # [L, B, S, H_kv, Dh]
-    v: jax.Array
-    lengths: jax.Array  # [B] int32 per-slot valid lengths
+# serving caches ARE the engine caches — only the length is a [B] vector
+BatchedCache = KVCache
 
 
-def init_batched_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
-    return BatchedCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
-        lengths=jnp.zeros((batch,), jnp.int32),
+def init_batched_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+    quantized: bool = False,
+):
+    cache = (
+        init_quant_cache(cfg, batch, max_len)
+        if quantized
+        else init_cache(cfg, batch, max_len, dtype)
     )
+    return cache._replace(length=jnp.zeros((batch,), jnp.int32))
 
 
 def forward_batched(
     params,
     cfg: ModelConfig,
     tokens: jax.Array,  # [B, T] — T new tokens per row, at row offsets
-    cache: BatchedCache,
+    cache,
     active: jax.Array | None = None,  # [B] bool — inactive rows don't advance
 ):
-    """Forward T tokens per row starting at each row's own length."""
-    B, T = tokens.shape
-    S = cache.k.shape[2]
-    lengths = cache.lengths
-    if active is None:
-        active = jnp.ones((B,), bool)
-
-    h = jnp.take(params["embed"], tokens, axis=0)
-    positions = lengths[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-    q_pos = positions  # [B, T]
-    k_pos = jnp.arange(S, dtype=jnp.int32)
-    mask = k_pos[None, None, :] <= q_pos[:, :, None]  # [B, T, S]
-    scale = cfg.head_dim_**-0.5
-    n_rep = cfg.num_heads // cfg.num_kv_heads
-    rows = jnp.arange(B)
-
-    def mm(x, w):
-        if isinstance(w, dict):
-            from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
-
-            return int4_matmul(x, w).astype(x.dtype)
-        return x @ w
-
-    def layer_fn(h, xs):
-        lp, k_cache, v_cache = xs
-        x = _rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
-        q = mm(x, lp["wq"])
-        k = mm(x, lp["wk"])
-        v = mm(x, lp["wv"])
-        if cfg.qkv_bias:
-            q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
-        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim_)
-        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
-        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim_)
-        q = _rope(q, positions, cfg.rope_theta)
-        k = _rope(k, positions, cfg.rope_theta)
-
-        # per-row write at [b, lengths[b] + t]: a vmapped
-        # dynamic_update_slice instead of an advanced-indexing scatter —
-        # gather/scatter-in-while compiles pathologically slowly on the
-        # TPU compiler (>9 min at serving shapes), while batched DUS
-        # lowers to a simple masked store
-        def write_row(kc, vc, kr, vr, pos, act):
-            cur_k = jax.lax.dynamic_slice(
-                kc, (pos, 0, 0), (T, kc.shape[1], kc.shape[2])
-            )
-            cur_v = jax.lax.dynamic_slice(
-                vc, (pos, 0, 0), (T, vc.shape[1], vc.shape[2])
-            )
-            kr = jnp.where(act, kr, cur_k)
-            vr = jnp.where(act, vr, cur_v)
-            return (
-                jax.lax.dynamic_update_slice(kc, kr, (pos, 0, 0)),
-                jax.lax.dynamic_update_slice(vc, vr, (pos, 0, 0)),
-            )
-
-        k_cache, v_cache = jax.vmap(write_row)(
-            k_cache, v_cache, k, v, lengths, active
-        )
-
-        qg = q.reshape(B, T, cfg.num_kv_heads, n_rep, cfg.head_dim_)
-        scores = jnp.einsum(
-            "btgrd,bsgd->bgrts", qg, k_cache, preferred_element_type=jnp.float32
-        ) * scale
-        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum(
-            "bgrts,bsgd->btgrd",
-            probs.astype(v_cache.dtype),
-            v_cache,
-            preferred_element_type=jnp.float32,
-        ).astype(h.dtype)
-        ctx = ctx.reshape(B, T, cfg.num_heads * cfg.head_dim_)
-        h = h + mm(ctx, lp["wo"])
-        x = _rms_norm(h, lp["mlp_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(mm(x, lp["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-        h = h + mm(gate * mm(x, lp["w_up"]), lp["w_down"])
-        return h, (k_cache, v_cache)
-
-    h, (new_k, new_v) = jax.lax.scan(layer_fn, h, (params["layers"], cache.k, cache.v))
-    h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.matmul(h, head, preferred_element_type=jnp.float32)
-    new_lengths = jnp.where(active, lengths + T, lengths)
-    return logits, BatchedCache(k=new_k, v=new_v, lengths=new_lengths)
+    """Forward T tokens per row starting at each row's own length — the
+    shared transformer forward with a per-row ``cache.length``."""
+    return forward(params, cfg, tokens, cache, active=active)
 
 
 @functools.partial(
@@ -180,17 +100,47 @@ def batched_decode_step(
 
 
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
-def insert_slot(cache: BatchedCache, slot_cache, slot: int, length: jax.Array):
-    """Insert a freshly prefilled single-request cache ([L, 1, S, H, D])
-    into batch slot ``slot``."""
-    k = jax.lax.dynamic_update_slice(
-        cache.k, slot_cache.k, (0, slot, 0, 0, 0)
+def insert_slot(cache, slot_cache, slot: int, length: jax.Array):
+    """Insert a freshly prefilled single-request cache ([L, 1, S, H, D],
+    dense or int8-quantized) into batch slot ``slot``."""
+
+    def ins(buf, sl):
+        return jax.lax.dynamic_update_slice(
+            buf, sl, (0, slot) + (0,) * (buf.ndim - 2)
+        )
+
+    kw = {"k": ins(cache.k, slot_cache.k), "v": ins(cache.v, slot_cache.v)}
+    if isinstance(cache, QuantKVCache):
+        kw["k_scale"] = ins(cache.k_scale, slot_cache.k_scale)
+        kw["v_scale"] = ins(cache.v_scale, slot_cache.v_scale)
+    kw["length"] = cache.length.at[slot].set(length)
+    return cache._replace(**kw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("row0",), donate_argnames=("cache",)
+)
+def insert_lane_block(cache, block_cache, row0: int, length: jax.Array):
+    """Insert a freshly prefilled multi-lane cache ([L, lanes, S, ...])
+    at batch rows [row0, row0 + lanes) — tree-serving admission, where a
+    slot owns a contiguous block of draft lane rows."""
+
+    def ins(buf, sl):
+        return jax.lax.dynamic_update_slice(
+            buf, sl, (0, row0) + (0,) * (buf.ndim - 2)
+        )
+
+    lanes = block_cache.k.shape[1]
+    kw = {"k": ins(cache.k, block_cache.k), "v": ins(cache.v, block_cache.v)}
+    if isinstance(cache, QuantKVCache):
+        kw["k_scale"] = ins(cache.k_scale, block_cache.k_scale)
+        kw["v_scale"] = ins(cache.v_scale, block_cache.v_scale)
+    kw["length"] = jax.lax.dynamic_update_slice(
+        cache.length,
+        jnp.full((lanes,), length, jnp.int32),
+        (row0,),
     )
-    v = jax.lax.dynamic_update_slice(
-        cache.v, slot_cache.v, (0, slot, 0, 0, 0)
-    )
-    lengths = cache.lengths.at[slot].set(length)
-    return BatchedCache(k=k, v=v, lengths=lengths)
+    return cache._replace(**kw)
 
 
 @functools.partial(
@@ -231,9 +181,7 @@ def spec_batched_step(
     verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
 
     # --- draft catch-up: rewind every row to p-2 and forward T=2 ---
-    d_cache = BatchedCache(
-        d_cache.k, d_cache.v, jnp.minimum(d_cache.lengths, p - 2)
-    )
+    d_cache = d_cache._replace(length=jnp.minimum(d_cache.length, p - 2))
     catch_idx = p[:, None] - 2 + jnp.arange(2)[None, :]
     catch = token_buf[rows[:, None], catch_idx]
     logits, d_cache = forward_batched(draft_params, draft_cfg, catch, d_cache, active)
@@ -323,12 +271,8 @@ def spec_batched_step(
         jnp.where(active, t, token_buf[rows, n + 1])
     )
     new_n = jnp.where(active, n + 2, n_tokens)
-    d_cache = BatchedCache(
-        d_cache.k, d_cache.v, jnp.where(active, n + 1, d_cache.lengths)
-    )
-    t_cache = BatchedCache(
-        t_cache.k, t_cache.v, jnp.where(active, n + 1, t_cache.lengths)
-    )
+    d_cache = d_cache._replace(length=jnp.where(active, n + 1, d_cache.length))
+    t_cache = t_cache._replace(length=jnp.where(active, n + 1, t_cache.length))
 
     # per-row EOS over the emitted region [p, new_n)
     finished = jnp.zeros((B,), bool)
@@ -412,3 +356,187 @@ def batched_decode_multi_step(
         cond, body, init
     )
     return token_buf, n_tokens, cache, key, finished, steps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "target_cfg", "spec", "eos_ids"),
+    donate_argnames=("token_buf", "d_cache", "t_cache"),
+)
+def spec_tree_batched_step(
+    draft_params,
+    target_params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    d_cache,  # [L, B*lanes, S, ...] per-row lengths (lane rows per slot)
+    t_cache,  # [L, B, S, ...] per-row lengths
+    active: jax.Array,  # [B] bool
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    spec: tuple[int, ...],
+    eos_ids: tuple[int, ...] = (),
+):
+    """One batched TREE speculative iteration (greedy): every active slot
+    fork-drafts the branch-spec tree on its own lane rows, all slots
+    verify in ONE tree-attention target forward (shared [T, T] ancestor
+    mask + per-row lengths), and each slot commits its own winning chain.
+
+    The vectorized-over-slots generalization of
+    engine/tree_loops._tree_branch — the multi-slot serving form of the
+    reference's k-sequence drafting (src/model_cpu.py:138-252), which is
+    strictly batch-1. Greedy only, like the engine mode's losslessness
+    contract; sampled multi-slot serving uses the chain
+    ``spec_batched_step``.
+    """
+    import numpy as np
+
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+    from duodecoding_tpu.ops.sampling import top_k_via_argmax
+
+    B, S = token_buf.shape
+    gamma = len(spec)
+    lanes = int(np.prod(spec))
+    kmax = max(spec)
+    lay = spec_layout(spec)
+    T = int(lay.offsets.shape[0])
+    verify_vocab = min(draft_cfg.vocab_size, target_cfg.vocab_size)
+    rows = jnp.arange(B)
+    p = n_tokens  # [B]
+    CU = gamma + 2
+    lane_active = jnp.repeat(active, lanes)
+
+    # --- draft catch-up: rewind every slot's lanes to p-CU, forward CU ---
+    lane_p = jnp.repeat(p, lanes)  # [B*lanes]
+    d_cache = d_cache._replace(
+        length=jnp.minimum(d_cache.length, lane_p - CU)
+    )
+    catch_idx = p[:, None] - CU + jnp.arange(CU)[None, :]
+    catch = token_buf[rows[:, None], catch_idx]  # [B, CU]
+    catch_l = jnp.repeat(catch, lanes, axis=0)  # [B*lanes, CU]
+    logits, d_cache = forward(
+        draft_params, draft_cfg, catch_l, d_cache, active=lane_active
+    )
+
+    # --- fork-draft the tree on the lane axis ---
+    q0 = logits[::lanes, -1, :verify_vocab]  # [B, Vv] (lanes identical)
+    _, top0 = top_k_via_argmax(q0, spec[0])  # [B, spec0]
+    pick = jnp.asarray(lay.pick)  # [gamma, lanes]
+    chain0 = jnp.take_along_axis(
+        top0, jnp.broadcast_to(pick[0][None, :], (B, lanes)), axis=1
+    ).reshape(B * lanes).astype(jnp.int32)
+
+    def draft_step(carry, pick_i):
+        last, d_cache = carry
+        lg, d_cache = forward(
+            draft_params, draft_cfg, last[:, None], d_cache,
+            active=lane_active,
+        )
+        _, topi = top_k_via_argmax(lg[:, -1, :verify_vocab], kmax)
+        pk = jnp.tile(pick_i, (B,))  # [B*lanes]
+        nxt = jnp.take_along_axis(topi, pk[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        return (nxt, d_cache), nxt
+
+    (_, d_cache), rest = jax.lax.scan(
+        draft_step, (chain0, d_cache), jnp.asarray(lay.pick[1:])
+    )  # rest: [gamma-1, B*lanes]
+    chains = jnp.concatenate([chain0[None], rest], axis=0)  # [gamma, B*lanes]
+    chains = chains.reshape(gamma, B, lanes).transpose(1, 2, 0)  # [B, lanes, g]
+
+    # --- verify: ONE batched tree-attention forward ---
+    t_cache = t_cache._replace(length=p - 1)
+    last_tok = token_buf[rows, p - 1]  # [B]
+    ver_nodes = chains[:, lay.node_from_lane, lay.node_level]  # [B, T-1]
+    ver_in = jnp.concatenate([last_tok[:, None], ver_nodes], axis=1)  # [B, T]
+    t_logits, t_cache = forward(
+        target_params,
+        target_cfg,
+        ver_in,
+        t_cache,
+        position_offsets=jnp.asarray(lay.offsets),
+        window_mask=jnp.asarray(lay.mask),
+        active=active,
+    )
+    preds = jnp.argmax(t_logits[:, :, :verify_vocab], axis=-1).astype(
+        jnp.int32
+    )  # [B, T]
+
+    # --- greedy walk per slot ---
+    preds_parent = jnp.take_along_axis(
+        preds[:, None, :].repeat(lanes, axis=1),
+        jnp.broadcast_to(jnp.asarray(lay.parent_rows)[None], (B, lanes, gamma)),
+        axis=2,
+    )  # [B, lanes, gamma]
+    cons = chains == preds_parent
+    m_l = jnp.sum(jnp.cumprod(cons.astype(jnp.int32), axis=2), axis=2)
+    w = jnp.argmax(m_l, axis=1).astype(jnp.int32)  # [B]
+    m = jnp.take_along_axis(m_l, w[:, None], axis=1)[:, 0]  # [B]
+    win_rows = jnp.take(jnp.asarray(lay.lane_nodes), w, axis=0)  # [B, gamma]
+    win_chain = jnp.take_along_axis(
+        chains, w[:, None, None], axis=1
+    )[:, 0, :]  # [B, gamma]
+    preds_at_w = jnp.take_along_axis(preds, win_rows, axis=1)  # [B, gamma]
+    bonus = jnp.where(
+        m == 0,
+        preds[:, 0],
+        jnp.take_along_axis(
+            preds_at_w, jnp.maximum(m - 1, 0)[:, None], axis=1
+        )[:, 0],
+    )  # [B]
+
+    # --- commit: winning chain + bonus at each slot's own offset ---
+    def commit_row(buf, chain, b, pos, mm, act):
+        cur = jax.lax.dynamic_slice(buf, (pos,), (gamma + 1,))
+        newv = jnp.where(jnp.arange(gamma + 1) == mm, b, 
+                         jnp.concatenate([chain, chain[-1:]]))
+        newv = jnp.where(jnp.arange(gamma + 1) <= mm, newv, cur)
+        return jax.lax.dynamic_update_slice(
+            buf, jnp.where(act, newv, cur), (pos,)
+        )
+
+    token_buf = jax.vmap(commit_row)(token_buf, win_chain, bonus, p, m, active)
+    new_n = jnp.where(active, p + m + 1, p)
+
+    # --- target cache: relocate the winning rows into chain order ---
+    start = p - 1
+    perm = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None], (B, T)
+    ).at[:, 1 : gamma + 1].set(win_rows)
+
+    def move_row(a, st, pm):  # a: [L, S, ...] one slot
+        win = jax.lax.dynamic_slice_in_dim(a, st, T, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            a, jnp.take(win, pm, axis=1), st, axis=1
+        )
+
+    kw = {}
+    for f in t_cache._fields:
+        if f == "length":
+            continue
+        kw[f] = jax.vmap(move_row, in_axes=(1, 0, 0), out_axes=1)(
+            getattr(t_cache, f), start, perm
+        )
+    kw["length"] = jnp.where(active, new_n - 1, t_cache.length)
+    t_cache = t_cache._replace(**kw)
+    d_cache = d_cache._replace(
+        length=jnp.minimum(d_cache.length, jnp.repeat(new_n - 1, lanes))
+    )
+
+    # --- per-slot EOS over the emitted region [p, new_n) ---
+    finished = jnp.zeros((B,), bool)
+    for i in range(gamma + 1):
+        pos = p + i
+        tok_i = token_buf[rows, jnp.minimum(pos, S - 1)]
+        in_range = pos < new_n
+        for e in eos_ids:
+            finished = finished | (in_range & (tok_i == e))
+    finished = finished & active
+    emitted = jnp.where(active, new_n - p, 0)
+    accepted = jnp.where(active, m, 0)
+    drafted = jnp.where(active, gamma, 0)
+    return (
+        token_buf, new_n, d_cache, t_cache, emitted, accepted, drafted,
+        finished,
+    )

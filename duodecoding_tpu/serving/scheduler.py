@@ -20,11 +20,12 @@ import jax.numpy as jnp
 from duodecoding_tpu.engine.loops import prefill
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
+from duodecoding_tpu.models.kv_quant import init_quant_cache
 from duodecoding_tpu.models.transformer import init_cache
 from duodecoding_tpu.serving.batched import (
-    BatchedCache,
     batched_decode_step,
     init_batched_cache,
+    insert_lane_block,
     insert_slot,
 )
 
@@ -56,6 +57,7 @@ class BatchedServer:
         eos_ids: tuple[int, ...] = (),
         dtype=jnp.bfloat16,
         seed: int = 0,
+        int8_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -64,9 +66,12 @@ class BatchedServer:
         self.sampling = sampling
         self.eos_ids = eos_ids
         self.dtype = dtype
+        self.int8_kv = int8_kv
         self.key = jax.random.PRNGKey(seed)
 
-        self.cache = init_batched_cache(cfg, batch_size, max_seq_len, dtype)
+        self.cache = init_batched_cache(
+            cfg, batch_size, max_seq_len, dtype, quantized=int8_kv
+        )
         self.token_buf = jnp.zeros((batch_size, max_seq_len), jnp.int32)
         self.n_tokens = jnp.zeros((batch_size,), jnp.int32)
         self.active = np.zeros((batch_size,), bool)
@@ -91,7 +96,11 @@ class BatchedServer:
                 L = self.S - req.max_new_tokens - 1
                 req.prompt = req.prompt[-L:]
             # off-batch chunked prefill into a single-slot cache
-            single = init_cache(self.cfg, 1, self.S, self.dtype)
+            single = (
+                init_quant_cache(self.cfg, 1, self.S)
+                if self.int8_kv
+                else init_cache(self.cfg, 1, self.S, self.dtype)
+            )
             prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
             single = prefill(self.params, self.cfg, single, prompt)
             self.cache = insert_slot(self.cache, single, slot, jnp.int32(L - 1))
@@ -197,7 +206,11 @@ class SpecBatchedServer(BatchedServer):
                 req.prompt = req.prompt[-budget:]
                 L = budget
             prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
-            t_single = init_cache(self.cfg, 1, self.S, self.dtype)
+            t_single = (
+                init_quant_cache(self.cfg, 1, self.S)
+                if self.int8_kv
+                else init_cache(self.cfg, 1, self.S, self.dtype)
+            )
             t_single = prefill(self.params, self.cfg, t_single, prompt)
             d_single = init_cache(self.draft_cfg, 1, self.S, self.dtype)
             d_single = prefill(self.draft_params, self.draft_cfg, d_single, prompt)
@@ -311,3 +324,124 @@ class MultiStepBatchedServer(BatchedServer):
             if fin[slot] or n_host[slot] >= req._deadline:
                 self._retire(slot)
         return decoded
+
+
+class SpecTreeBatchedServer(BatchedServer):
+    """Continuous batching with TREE speculative decoding: every active
+    slot fork-drafts a branch-spec token tree on its own lane rows and all
+    slots verify together in one batched tree-attention forward
+    (serving/batched.py:spec_tree_batched_step). Greedy (temperature 0),
+    like the engine mode's losslessness contract. The multi-slot serving
+    form of the reference's k-sequence drafting (src/model_cpu.py:138-252,
+    strictly batch-1 there)."""
+
+    def __init__(self, draft_params, draft_cfg, target_params, target_cfg,
+                 *, tree_spec=(2, 1, 1, 1), draft_dtype=None,
+                 draft_int8_kv: bool = False, **kw):
+        super().__init__(target_params, target_cfg, **kw)
+        from duodecoding_tpu.engine.modes.sd_tree import parse_spec
+
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec = parse_spec(tree_spec)
+        self.lanes = int(np.prod(self.spec))
+        self.draft_dtype = draft_dtype or self.dtype
+        self.draft_int8_kv = draft_int8_kv
+        self.d_cache = init_batched_cache(
+            draft_cfg, self.B * self.lanes, self.S, self.draft_dtype,
+            quantized=draft_int8_kv,
+        )
+        self.total_drafted = 0
+        self.total_accepted = 0
+
+    def _admit(self) -> None:
+        from duodecoding_tpu.models.kv_quant import init_quant_cache
+
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            L = len(req.prompt)
+            gamma = len(self.spec)
+            n_rows = self.lanes * gamma + 2  # verify rows upper bound
+            budget = self.S - req.max_new_tokens - n_rows
+            if L > budget:
+                req.prompt = req.prompt[-budget:]
+                L = budget
+            if L < gamma + 2:
+                raise ValueError(
+                    f"tree serving needs prompt_len >= gamma + 2, got {L}"
+                )
+            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
+            t_single = (
+                init_quant_cache(self.cfg, 1, self.S)
+                if self.int8_kv
+                else init_cache(self.cfg, 1, self.S, self.dtype)
+            )
+            t_single = prefill(self.params, self.cfg, t_single, prompt)
+            # draft: prefill ALL lane rows of this slot at once
+            d_lanes = (
+                init_quant_cache(self.draft_cfg, self.lanes, self.S)
+                if self.draft_int8_kv
+                else init_cache(self.draft_cfg, self.lanes, self.S,
+                                self.draft_dtype)
+            )
+            d_lanes = prefill(
+                self.draft_params, self.draft_cfg, d_lanes,
+                jnp.broadcast_to(prompt, (self.lanes, L)),
+            )
+            self.cache = insert_slot(
+                self.cache, t_single, slot, jnp.int32(L - 1)
+            )
+            self.d_cache = insert_lane_block(
+                self.d_cache, d_lanes, slot * self.lanes, jnp.int32(L - 1)
+            )
+            self.token_buf = self.token_buf.at[slot, :L].set(prompt[0])
+            self.n_tokens = self.n_tokens.at[slot].set(L)
+            self.active[slot] = True
+            req._slot, req._start, req._deadline = slot, L, L + req.max_new_tokens
+            self.slot_req[slot] = req
+
+    def step(self) -> int:
+        from duodecoding_tpu.serving.batched import spec_tree_batched_step
+
+        self._admit()
+        if not self.active.any():
+            return 0
+        active = jnp.asarray(self.active)
+        (
+            self.token_buf,
+            self.n_tokens,
+            self.d_cache,
+            self.cache,
+            emitted,
+            accepted,
+            drafted,
+            finished,
+        ) = spec_tree_batched_step(
+            self.draft_params,
+            self.params,
+            self.token_buf,
+            self.n_tokens,
+            self.d_cache,
+            self.cache,
+            active,
+            draft_cfg=self.draft_cfg,
+            target_cfg=self.cfg,
+            spec=self.spec,
+            eos_ids=self.eos_ids,
+        )
+        self._steps += 1
+        em = np.asarray(emitted)
+        self._decoded_tokens += int(em.sum())
+        self.total_drafted += int(np.asarray(drafted).sum())
+        self.total_accepted += int(np.asarray(accepted).sum())
+        fin = np.asarray(finished)
+        n_host = np.asarray(self.n_tokens)
+        for slot in range(self.B):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            if fin[slot] or n_host[slot] >= req._deadline:
+                self._retire(slot)
+        return int(em.sum())
