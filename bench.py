@@ -107,18 +107,33 @@ def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag="",
 
 
 def run_prompts(engine, mode, prompts, **kw):
+    """Run ``mode`` over each prompt; returns (tok/s, accept, per-prompt
+    dict with the spread — the round-2 headline was noisy at exactly the
+    pass/fail margin because accept varied 0.65-0.76 over 3 prompts)."""
     toks = 0
     wall = 0.0
     accepts = []
+    tps_each = []
     for i in range(prompts.shape[0]):
         out, m = engine.run(mode, prompts[i][None, :], **kw)
         toks += m["generated_tokens"]
         wall += m["wall_time"]
+        tps_each.append(m["generated_tokens"] / max(m["wall_time"], 1e-9))
         if m["draft_generated_tokens"]:
             accepts.append(
                 m["draft_accepted_tokens"] / m["draft_generated_tokens"]
             )
-    return toks / max(wall, 1e-9), (float(np.mean(accepts)) if accepts else 0.0)
+    spread = {
+        "tps_per_prompt": [round(t, 2) for t in tps_each],
+        "tps_sd": round(float(np.std(tps_each)), 2),
+        "accept_per_prompt": [round(a, 3) for a in accepts],
+        "accept_sd": round(float(np.std(accepts)), 3) if accepts else 0.0,
+    }
+    return (
+        toks / max(wall, 1e-9),
+        (float(np.mean(accepts)) if accepts else 0.0),
+        spread,
+    )
 
 
 def int4_kernel_sol(cfg, tiny):
@@ -205,7 +220,10 @@ def part_a_13b(tiny):
     max_new = 16 if tiny else MAX_NEW_TOKENS
     plen = 16 if tiny else PROMPT_LEN
     S = 64 if tiny else 512
-    n_prompts = 1 if tiny else 3
+    # 8 prompts: the round-2 headline on 3 prompts was noisy at exactly
+    # the pass/fail margin (accept spread 0.65-0.76); runs are cheap
+    # (~2 s each) next to the program compiles
+    n_prompts = 1 if tiny else 8
     int8_kv = not tiny
 
     log(f"[bench] A: target {cfg.name} ({cfg.num_params/1e9:.1f}B params, "
@@ -229,9 +247,9 @@ def part_a_13b(tiny):
         eng = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
                           max_seq_len=S, int8_kv=int8_kv)
         eng.run(mode, prompts[0][None, :], **mode_kw)  # warmup (compiles cached)
-        tps, acc = run_prompts(eng, mode, prompts[1:], **mode_kw)
+        tps, acc, spread = run_prompts(eng, mode, prompts[1:], **mode_kw)
         return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
-                "mode": mode, **mode_kw}
+                "mode": mode, "spread": spread, **mode_kw}
 
     best = calibrate_on_measurement(
         measure_sd, iters=3 if tiny else 6, tag=" A:",
@@ -253,9 +271,10 @@ def part_a_13b(tiny):
     t0 = time.time()
     eng.run("large", prompts[0][None, :])  # warmup/compile
     log(f"[bench] A: AR warmup {time.time()-t0:.1f}s")
-    ar_tps, _ = run_prompts(eng, "large", prompts[1:])
+    ar_tps, _, ar_spread = run_prompts(eng, "large", prompts[1:])
     log(f"[bench] A: AR {ar_tps:.2f} tok/s")
     results["ar_tps"] = ar_tps
+    results["ar_spread"] = ar_spread
 
     # speed-of-light accounting for the AR decode step (weights-bound)
     prof = Profiler()
@@ -276,13 +295,16 @@ def part_a_13b(tiny):
     # optionally a second gamma
     runs = [best]
     # branch-spec trees (engine/tree_loops.py): per-level top-k hedging
-    # raises tokens-per-target-pass past the chain ceiling. The round-2
-    # on-chip sweep (tools/profile_iter.py) found deep narrow trees best
-    # once the stacked flash kernel made extra draft lanes ~free:
-    # (3,2,1,1,1,1) and (4,2,1,1,1,1) measured 189-191 tok/s loop speed
-    # (6.0 tokens/verify) vs 127 for the round-2-early (3,1,1,1).
+    # raises tokens-per-target-pass past the chain ceiling. Round-3
+    # on-chip sweep (tools/profile_iter.py, after the budget-aware INT4
+    # M-tiling): (2,2,1,1,1,1,1) is the new best — 226.5 tok/s loop at
+    # 6.40 tok/iter (28.25 ms/iter) vs 215.7 for round-2's
+    # (3,2,1,1,1,1,1); 4 lanes + 27 verify rows beat 6 lanes + 40 rows
+    # at equal accept. Wider roots lose: (4,2,1,1,1,1,1) = 174 loop.
     tree_specs = (
-        [(3, 2, 1, 1, 1, 1), (3, 2, 1, 1, 1, 1, 1)] if not tiny else [(3, 1, 1)]
+        [(2, 2, 1, 1, 1, 1, 1), (3, 2, 1, 1, 1, 1, 1)]
+        if not tiny
+        else [(3, 1, 1)]
     )
     env_specs = os.environ.get("BENCH_TREE_SPECS")
     if env_specs:
@@ -301,20 +323,65 @@ def part_a_13b(tiny):
         )
         log(f"[bench] A: sd_tree spec={sp}: {runs[-1]['tps']:.2f} tok/s "
             f"accept={runs[-1]['accept']:.3f}")
+    # DYNAMIC tree width (generate_k_seq parity, engine/tree_loops.py) is
+    # opt-in (BENCH_DYN_SPECS="a;b"): measured on-chip at 13B, the
+    # lax.switch iteration costs ~the SUM of the branch bodies (57 vs
+    # 30 ms/iter — XLA executes both branches inside the while program),
+    # so the static deep-narrow spec wins on TPU; the dynamic mode remains
+    # a correctness/parity capability. Gap threshold (BENCH_DYN_GAP) is in
+    # LOGIT units of the calibrated synthetic pair (~1e-2 of a real
+    # pair's).
+    dyn = os.environ.get("BENCH_DYN_SPECS")
+    if dyn:
+        gap = float(os.environ.get("BENCH_DYN_GAP", "0.006"))
+        dyn_specs = [tuple(int(x) for x in s.split(",") if x)
+                     for s in dyn.split(";") if s]
+        runs.append(
+            measure_sd(alpha, g=max(len(sp) for sp in dyn_specs),
+                       mode="sd_tree", tree_spec=dyn, tree_gap=gap)
+        )
+        log(f"[bench] A: sd_tree dynamic [{dyn}] gap={gap}: "
+            f"{runs[-1]['tps']:.2f} tok/s accept={runs[-1]['accept']:.3f}")
     if not tiny and os.environ.get("BENCH_GAMMA_SWEEP") == "1":
         for g in (8,):
             runs.append(measure_sd(alpha, g=g))
             log(f"[bench] A: sd gamma={g}: {runs[-1]['tps']:.2f} tok/s "
                 f"accept={runs[-1]['accept']:.3f}")
+    # heterogeneous tier pipeline (parallel/hetero.py) at the same pair —
+    # colocated() on one chip: no true overlap is possible (one core), so
+    # this measures the device-resident pipeline protocol's overhead vs
+    # the fused chain-sd while program; the split() placement is the
+    # multi-chip deployment (dryrun_multichip step 3). BENCH_HETERO=1.
+    if not tiny and os.environ.get("BENCH_HETERO") == "1":
+        from duodecoding_tpu.parallel.hetero import (
+            HeteroPlacement, hetero_sd_generate,
+        )
+
+        pl_ = HeteroPlacement.colocated()
+        h_toks = h_wall = h_drafted = h_acc = 0
+        for i in range(1, min(4, n_prompts + 1)):
+            out_h, st = hetero_sd_generate(
+                pl_, dp, tp, dcfg, cfg, prompts[i][None, :], gamma=gamma,
+                max_new_tokens=max_new, max_seq_len=S,
+            )
+            h_toks += st["generated_tokens"]
+            h_wall += st["wall_time"]
+            h_drafted += st["drafted"]
+            h_acc += st["accepted"]
+        results["hetero_tps"] = h_toks / max(h_wall, 1e-9)
+        results["hetero_accept"] = h_acc / max(h_drafted, 1)
+        log(f"[bench] A: hetero (colocated 1-chip) "
+            f"{results['hetero_tps']:.2f} tok/s "
+            f"accept={results['hetero_accept']:.3f}")
+
     top = max(runs, key=lambda r: r["tps"])
     results["sd_tps"] = top["tps"]
     results["sd_gamma"] = top["gamma"]
     results["sd_accept"] = top["accept"]
     results["sd_mode"] = top["mode"] + (
-        f" spec={','.join(map(str, top['tree_spec']))}"
-        if "tree_spec" in top
-        else ""
+        f" spec={top['tree_spec']}" if "tree_spec" in top else ""
     )
+    results["sd_spread"] = top.get("spread")
     results["sd_chain_tps"] = best["tps"]
     results["sd_runs"] = [
         {k: v for k, v in r.items()} for r in runs

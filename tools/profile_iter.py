@@ -86,6 +86,15 @@ def main():
                 os.environ["DUODEC_TREE_PROBE"] = pr
             if a in ("large", "sd", "small"):
                 modes.append((a, {}))
+            elif ";" in a:  # dynamic width: 'specA;specB[;gap=X]'
+                parts = [p for p in a.split(";") if p]
+                gap = 2.0
+                if parts[-1].startswith("gap="):
+                    gap = float(parts.pop()[4:])
+                modes.append(
+                    ("sd_tree", {"tree_spec": ";".join(parts),
+                                 "tree_gap": gap})
+                )
             else:
                 modes.append(
                     ("sd_tree",
@@ -93,7 +102,12 @@ def main():
                 )
     probe = os.environ.get("DUODEC_TREE_PROBE", "")
     for mode, kw in modes:
-        g = len(kw["tree_spec"]) if "tree_spec" in kw else 4
+        if "tree_spec" in kw:
+            from duodecoding_tpu.engine.modes.sd_tree import parse_specs
+
+            g = max(len(sp) for sp in parse_specs(kw["tree_spec"]))
+        else:
+            g = 4
         lo, tl, il, _, c1 = run(mode, 32, gamma=g, **kw)
         hi, th, ih, acc, c2 = run(mode, 128, gamma=g, **kw)
         per = (hi - lo) / (th - tl)
