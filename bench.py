@@ -251,11 +251,13 @@ def part_a_13b(tiny):
         return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
                 "mode": mode, "spread": spread, **mode_kw}
 
+    # warm bracket around the known-good region for seed 0 (alpha* ~6.6e-4
+    # measured round 3 on the 8-prompt set); BENCH_ALPHA_LO/HI pin it for
+    # spec sweeps (the geometric midpoint is the probe)
+    lo = float(os.environ.get("BENCH_ALPHA_LO", 1e-4 if tiny else 3.0e-4))
+    hi = float(os.environ.get("BENCH_ALPHA_HI", 0.5 if tiny else 1.4e-3))
     best = calibrate_on_measurement(
-        measure_sd, iters=3 if tiny else 6, tag=" A:",
-        # warm bracket around the known-good region for seed 0 (alpha*
-        # ~5.6e-4 measured in round 2)
-        lo=1e-4 if tiny else 1.4e-4, hi=0.5 if tiny else 2.2e-3,
+        measure_sd, iters=3 if tiny else 6, tag=" A:", lo=lo, hi=hi,
     )
     alpha = best["alpha"]
     log(f"[bench] A: calibrated alpha={alpha:.5f} accept={best['accept']:.3f} "

@@ -252,23 +252,23 @@ def hetero_sd_generate(
             f"max_seq_len {S} too small: need >= {limit + 2 * gamma + 2} "
             "(the optimistic draft chain runs up to 2*gamma ahead)"
         )
-    base = jnp.zeros((1, S), jnp.int32).at[:, :L].set(
-        jnp.asarray(prompt, jnp.int32)
-    )
+    # Initial device values are built from NUMPY so each device_put
+    # creates its OWN buffer: with colocated() placement the two meshes
+    # share devices, and device_put of a jax array to an identical
+    # sharding is a no-op ALIAS — draft_step donating tokens_d would
+    # delete tokens_t out from under verify_step (hit on-chip).
+    base = np.zeros((1, S), np.int32)
+    base[:, :L] = np.asarray(prompt)
     tokens_d = placement.draft_replicated(base)
-    tokens_t = placement.target_replicated(base)
+    tokens_t = placement.target_replicated(np.array(base))
     d_cache = jax.tree.map(
         placement.draft_replicated, init_cache(d_cfg, 1, S, cache_dtype)
     )
     t_cache = shard_cache(
         init_cache(t_cfg, 1, S, cache_dtype), placement.target_mesh
     )
-    rec_acc = placement.target_replicated(
-        jnp.zeros((max_iters,), jnp.int32)
-    )
-    rec_kind = placement.target_replicated(
-        jnp.zeros((max_iters,), jnp.int32)
-    )
+    rec_acc = placement.target_replicated(np.zeros((max_iters,), np.int32))
+    rec_kind = placement.target_replicated(np.zeros((max_iters,), np.int32))
     t0 = time.perf_counter()
     d_cache = prefill(d_params, d_cfg, d_cache, tokens_d[:, :L])
     t_cache = prefill(t_params, t_cfg, t_cache, tokens_t[:, :L])

@@ -358,12 +358,7 @@ def batched_decode_multi_step(
     return token_buf, n_tokens, cache, key, finished, steps
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("draft_cfg", "target_cfg", "spec", "eos_ids"),
-    donate_argnames=("token_buf", "d_cache", "t_cache"),
-)
-def spec_tree_batched_step(
+def _spec_tree_core(
     draft_params,
     target_params,
     token_buf: jax.Array,  # [B, S]
@@ -539,4 +534,75 @@ def spec_tree_batched_step(
     return (
         token_buf, new_n, d_cache, t_cache, emitted, accepted, drafted,
         finished,
+    )
+
+
+spec_tree_batched_step = functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "target_cfg", "spec", "eos_ids"),
+    donate_argnames=("token_buf", "d_cache", "t_cache"),
+)(_spec_tree_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "target_cfg", "spec", "eos_ids", "max_steps"),
+    donate_argnames=("token_buf", "d_cache", "t_cache"),
+)
+def spec_tree_batched_multi_step(
+    draft_params,
+    target_params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    d_cache,
+    t_cache,
+    active: jax.Array,  # [B] bool
+    deadlines: jax.Array,  # [B] int32 per-slot token limits
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    spec: tuple[int, ...],
+    eos_ids: tuple[int, ...] = (),
+    max_steps: int = 8,
+):
+    """Fuse up to ``max_steps`` tree-speculative iterations in ONE
+    dispatch (a device-resident lax.while around _spec_tree_core). Slots
+    that hit EOS or their deadline go inactive INSIDE the loop (no
+    buffer overrun past the admission budget) and the loop exits early
+    so the host can retire/admit. On remote backends each dispatch costs
+    ~85-100 ms of execute/completion overhead (tools/fixed_cost_probe.py)
+    against ~tens of ms of device work per iteration — fusing is the
+    difference between dispatch-bound and compute-bound serving."""
+
+    def cond(c):
+        _tb, _n, _dc, _tc, act, fin, _em, _ac, _dr, i = c
+        return jnp.logical_and(
+            jnp.logical_and(i < max_steps, ~jnp.any(fin)), jnp.any(act)
+        )
+
+    def body(c):
+        tb, n, dc, tc, act, fin, em, ac, dr, i = c
+        tb, n, dc, tc, e, a, d, f = _spec_tree_core(
+            draft_params, target_params, tb, n, dc, tc, act,
+            draft_cfg=draft_cfg, target_cfg=target_cfg, spec=spec,
+            eos_ids=eos_ids,
+        )
+        f = (f | (n >= deadlines)) & act
+        return (
+            tb, n, dc, tc, act & ~f, fin | f, em + e, ac + a, dr + d, i + 1
+        )
+
+    B = token_buf.shape[0]
+    zeros = jnp.zeros((B,), jnp.int32)
+    init = (
+        token_buf, n_tokens, d_cache, t_cache, active,
+        jnp.zeros((B,), bool), zeros, zeros, zeros, jnp.int32(0),
+    )
+    (
+        token_buf, n_tokens, d_cache, t_cache, _act, finished,
+        emitted, accepted, drafted, steps,
+    ) = jax.lax.while_loop(cond, body, init)
+    return (
+        token_buf, n_tokens, d_cache, t_cache, emitted, accepted, drafted,
+        finished, steps,
     )

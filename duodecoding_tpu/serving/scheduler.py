@@ -337,7 +337,8 @@ class SpecTreeBatchedServer(BatchedServer):
 
     def __init__(self, draft_params, draft_cfg, target_params, target_cfg,
                  *, tree_spec=(2, 1, 1, 1), draft_dtype=None,
-                 draft_int8_kv: bool = False, **kw):
+                 draft_int8_kv: bool = False, steps_per_dispatch: int = 1,
+                 **kw):
         super().__init__(target_params, target_cfg, **kw)
         from duodecoding_tpu.engine.modes.sd_tree import parse_spec
 
@@ -347,6 +348,7 @@ class SpecTreeBatchedServer(BatchedServer):
         self.lanes = int(np.prod(self.spec))
         self.draft_dtype = draft_dtype or self.dtype
         self.draft_int8_kv = draft_int8_kv
+        self.steps_per_dispatch = steps_per_dispatch
         self.d_cache = init_batched_cache(
             draft_cfg, self.B * self.lanes, self.S, self.draft_dtype,
             quantized=draft_int8_kv,
@@ -403,35 +405,73 @@ class SpecTreeBatchedServer(BatchedServer):
             self.slot_req[slot] = req
 
     def step(self) -> int:
-        from duodecoding_tpu.serving.batched import spec_tree_batched_step
+        from duodecoding_tpu.serving.batched import (
+            spec_tree_batched_multi_step,
+            spec_tree_batched_step,
+        )
 
         self._admit()
         if not self.active.any():
             return 0
         active = jnp.asarray(self.active)
-        (
-            self.token_buf,
-            self.n_tokens,
-            self.d_cache,
-            self.cache,
-            emitted,
-            accepted,
-            drafted,
-            finished,
-        ) = spec_tree_batched_step(
-            self.draft_params,
-            self.params,
-            self.token_buf,
-            self.n_tokens,
-            self.d_cache,
-            self.cache,
-            active,
-            draft_cfg=self.draft_cfg,
-            target_cfg=self.cfg,
-            spec=self.spec,
-            eos_ids=self.eos_ids,
-        )
-        self._steps += 1
+        if self.steps_per_dispatch > 1:
+            # fused device loop: on remote backends each dispatch costs
+            # ~85-100 ms of execute/completion overhead, so fusing turns
+            # dispatch-bound serving into compute-bound serving
+            deadlines = np.zeros((self.B,), np.int32)
+            for slot in range(self.B):
+                req = self.slot_req[slot]
+                deadlines[slot] = req._deadline if req is not None else 0
+            (
+                self.token_buf,
+                self.n_tokens,
+                self.d_cache,
+                self.cache,
+                emitted,
+                accepted,
+                drafted,
+                finished,
+                steps,
+            ) = spec_tree_batched_multi_step(
+                self.draft_params,
+                self.params,
+                self.token_buf,
+                self.n_tokens,
+                self.d_cache,
+                self.cache,
+                active,
+                jnp.asarray(deadlines),
+                draft_cfg=self.draft_cfg,
+                target_cfg=self.cfg,
+                spec=self.spec,
+                eos_ids=self.eos_ids,
+                max_steps=self.steps_per_dispatch,
+            )
+            self._steps += int(steps)
+        else:
+            (
+                self.token_buf,
+                self.n_tokens,
+                self.d_cache,
+                self.cache,
+                emitted,
+                accepted,
+                drafted,
+                finished,
+            ) = spec_tree_batched_step(
+                self.draft_params,
+                self.params,
+                self.token_buf,
+                self.n_tokens,
+                self.d_cache,
+                self.cache,
+                active,
+                draft_cfg=self.draft_cfg,
+                target_cfg=self.cfg,
+                spec=self.spec,
+                eos_ids=self.eos_ids,
+            )
+            self._steps += 1
         em = np.asarray(emitted)
         self._decoded_tokens += int(em.sum())
         self.total_drafted += int(np.asarray(drafted).sum())

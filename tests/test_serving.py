@@ -211,3 +211,31 @@ def test_spec_tree_batched_int4_int8kv(params):
         ref = _reference_ar(qp, p, 8, int8_kv=True)
         n = min(len(ref), len(by_id[i].output))
         np.testing.assert_array_equal(by_id[i].output[:n], ref[:n])
+
+
+def test_spec_tree_multistep_lossless(params):
+    """Fused multi-iteration tree serving (one dispatch, device-resident
+    while) matches sequential AR and never overruns slot deadlines."""
+    from duodecoding_tpu.serving.scheduler import SpecTreeBatchedServer
+
+    d_params = init_random_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    server = SpecTreeBatchedServer(
+        d_params, CFG, params, CFG, tree_spec=(2, 1, 1),
+        batch_size=2, max_seq_len=128, steps_per_dispatch=4,
+        sampling=SamplingConfig(0.0), dtype=jnp.float32,
+    )
+    prompts = [
+        [5, 9, 2, 14, 27],
+        [8, 1, 7, 22, 3, 9, 4],
+        [11, 12, 13, 14, 15, 16],
+    ]
+    for i, p in enumerate(prompts):
+        server.submit(Request(i, np.asarray(p, np.int32), max_new_tokens=10))
+    stats = server.run_until_drained()
+    assert stats["completed"] == 3
+    by_id = {r.request_id: r for r in server.completed}
+    for i, p in enumerate(prompts):
+        ref = _reference_ar(params, p, 10)
+        n = min(len(ref), len(by_id[i].output))
+        np.testing.assert_array_equal(by_id[i].output[:n], ref[:n])
+        assert by_id[i].n_generated >= 10
