@@ -106,28 +106,47 @@ def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag="",
     return best
 
 
+DEGENERATE_ACCEPT = 0.95
+
+
 def run_prompts(engine, mode, prompts, **kw):
     """Run ``mode`` over each prompt; returns (tok/s, accept, per-prompt
     dict with the spread — the round-2 headline was noisy at exactly the
-    pass/fail margin because accept varied 0.65-0.76 over 3 prompts)."""
-    toks = 0
-    wall = 0.0
-    accepts = []
-    tps_each = []
+    pass/fail margin because accept varied 0.65-0.76 over 3 prompts).
+
+    DEGENERATE prompts (accept > 0.95) are excluded from the aggregates:
+    random-weight models occasionally collapse a random prompt into a
+    short repeating cycle the draft predicts perfectly (measured: one of
+    8 prompts at accept 0.99-1.0 across every mode while the other 7 sat
+    at ~0.5) — a synthetic artifact, not decoding skill. They stay listed
+    in the spread (flagged) so nothing is hidden; AR throughput is
+    sequence-independent either way."""
+    per = []
     for i in range(prompts.shape[0]):
         out, m = engine.run(mode, prompts[i][None, :], **kw)
-        toks += m["generated_tokens"]
-        wall += m["wall_time"]
-        tps_each.append(m["generated_tokens"] / max(m["wall_time"], 1e-9))
-        if m["draft_generated_tokens"]:
-            accepts.append(
-                m["draft_accepted_tokens"] / m["draft_generated_tokens"]
-            )
+        acc = (
+            m["draft_accepted_tokens"] / m["draft_generated_tokens"]
+            if m["draft_generated_tokens"]
+            else None
+        )
+        per.append((m["generated_tokens"], m["wall_time"], acc))
+    is_sd = any(a is not None for _, _, a in per)
+    keep = [
+        (t, w, a) for t, w, a in per
+        if not (is_sd and a is not None and a > DEGENERATE_ACCEPT)
+    ] or per
+    toks = sum(t for t, _, _ in keep)
+    wall = sum(w for _, w, _ in keep)
+    accepts = [a for _, _, a in keep if a is not None]
+    tps_each = [t / max(w, 1e-9) for t, w, _ in per]
     spread = {
         "tps_per_prompt": [round(t, 2) for t in tps_each],
         "tps_sd": round(float(np.std(tps_each)), 2),
-        "accept_per_prompt": [round(a, 3) for a in accepts],
+        "accept_per_prompt": [
+            round(a, 3) for _, _, a in per if a is not None
+        ],
         "accept_sd": round(float(np.std(accepts)), 3) if accepts else 0.0,
+        "degenerate_excluded": len(per) - len(keep),
     }
     return (
         toks / max(wall, 1e-9),
@@ -251,13 +270,17 @@ def part_a_13b(tiny):
         return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
                 "mode": mode, "spread": spread, **mode_kw}
 
-    # warm bracket around the known-good region for seed 0 (alpha* ~6.6e-4
-    # measured round 3 on the 8-prompt set); BENCH_ALPHA_LO/HI pin it for
-    # spec sweeps (the geometric midpoint is the probe)
-    lo = float(os.environ.get("BENCH_ALPHA_LO", 1e-4 if tiny else 3.0e-4))
-    hi = float(os.environ.get("BENCH_ALPHA_HI", 0.5 if tiny else 1.4e-3))
+    # warm bracket around the known-good region for seed 0 (alpha* ~5.2e-4
+    # measured round 3 on the degeneracy-filtered 8-prompt set);
+    # BENCH_ALPHA_LO/HI pin it for spec sweeps (the geometric midpoint is
+    # the first probe). tol is tight: a 0.04-tolerance early-exit left the
+    # pair at accept 0.525 vs the 0.562 contract and cost the tree runs
+    # ~5% tok/s.
+    lo = float(os.environ.get("BENCH_ALPHA_LO", 1e-4 if tiny else 2.6e-4))
+    hi = float(os.environ.get("BENCH_ALPHA_HI", 0.5 if tiny else 1.05e-3))
     best = calibrate_on_measurement(
-        measure_sd, iters=3 if tiny else 6, tag=" A:", lo=lo, hi=hi,
+        measure_sd, iters=3 if tiny else 7, tag=" A:", lo=lo, hi=hi,
+        tol=0.04 if tiny else 0.015,
     )
     alpha = best["alpha"]
     log(f"[bench] A: calibrated alpha={alpha:.5f} accept={best['accept']:.3f} "
@@ -303,8 +326,11 @@ def part_a_13b(tiny):
     # 6.40 tok/iter (28.25 ms/iter) vs 215.7 for round-2's
     # (3,2,1,1,1,1,1); 4 lanes + 27 verify rows beat 6 lanes + 40 rows
     # at equal accept. Wider roots lose: (4,2,1,1,1,1,1) = 174 loop.
+    # depth hedging: the best depth depends on the measured accept (deep
+    # specs win when accept is high, shallow when low), so the default
+    # runs one of each from the on-chip sweep at the calibrated pair
     tree_specs = (
-        [(2, 2, 1, 1, 1, 1, 1), (3, 2, 1, 1, 1, 1, 1)]
+        [(3, 2, 1, 1, 1), (2, 2, 1, 1, 1, 1, 1)]
         if not tiny
         else [(3, 1, 1)]
     )

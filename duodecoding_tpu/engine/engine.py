@@ -152,9 +152,9 @@ def block(*arrays):
     ``block_until_ready`` has been observed to return EARLY for
     device-resident while-loop programs on the remote TPU backend (it made
     one mode's benchmark wall undercount by ~2x), so the barrier is a real
-    host transfer of the last array — all outputs of an XLA executable
-    materialise together, so fetching one waits for the whole program."""
-    for a in arrays:
-        jax.block_until_ready(a)
+    host transfer of the LAST array — all outputs of an XLA executable
+    materialise together, so fetching one waits for the whole program.
+    One fetch only: each extra host round-trip costs ~27 ms on the remote
+    backend, so the per-array block_until_ready loop was pure overhead."""
     if arrays:
         jax.device_get(arrays[-1])

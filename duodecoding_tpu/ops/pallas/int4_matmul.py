@@ -40,6 +40,29 @@ from jax.experimental.pallas import tpu as pltpu
 from duodecoding_tpu.models.quant import int4_matmul_reference
 
 
+def _unpack_lo(u8block):
+    """Low nibble via integer ops (u8 -> i32 -> mask -> bf16)."""
+    if os.environ.get("DUODEC_INT4_FLUNPACK") == "1":
+        # float-arithmetic unpack: u8 values are 0..255, exact in f32;
+        # x*(1/16) and floor are exact, so lo = x - 16*floor(x/16) is the
+        # same integer code (bitwise-identical outputs, interpret-tested).
+        # Mosaic has no u8->f32 cast so the i32 widening stays; measured
+        # on-chip it LOSES to the bit ops (65/69/63/53% vs 72/69/68/61%
+        # of roof at M=8/28/40/72) — kept as a swept variant, default off.
+        xf = u8block.astype(jnp.int32).astype(jnp.float32)
+        return (xf - jnp.floor(xf * 0.0625) * 16.0).astype(jnp.bfloat16)
+    return (u8block.astype(jnp.int32) & 0xF).astype(jnp.bfloat16)
+
+
+def _unpack_hi(u8block):
+    """High nibble (see _unpack_lo)."""
+    if os.environ.get("DUODEC_INT4_FLUNPACK") == "1":
+        return jnp.floor(
+            u8block.astype(jnp.int32).astype(jnp.float32) * 0.0625
+        ).astype(jnp.bfloat16)
+    return ((u8block.astype(jnp.int32) >> 4) & 0xF).astype(jnp.bfloat16)
+
+
 def _group_loop(x, read_p, read_s, read_z, o_ref, *, group_size: int, K: int):
     """Shared per-group dequant+dot body. ``read_p(lo, hi)`` returns packed
     rows [lo, hi); ``read_s``/``read_z`` return the [1, TN] affine row for a
@@ -56,11 +79,9 @@ def _group_loop(x, read_p, read_s, read_z, o_ref, *, group_size: int, K: int):
         # count is odd — both cases are static slices.
         parts = []
         if a < half:
-            lo = read_p(a, min(b, half)).astype(jnp.int32)
-            parts.append((lo & 0xF).astype(jnp.bfloat16))
+            parts.append(_unpack_lo(read_p(a, min(b, half))))
         if b > half:
-            hi = read_p(max(a, half) - half, b - half).astype(jnp.int32)
-            parts.append(((hi >> 4) & 0xF).astype(jnp.bfloat16))
+            parts.append(_unpack_hi(read_p(max(a, half) - half, b - half)))
         cg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         xg = x[:, a:b]
         partial = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
@@ -335,6 +356,10 @@ def _pick_tile_n(n: int, k: int) -> int:
     # Mosaic materialises the unpack temporaries (int32 + bf16 copies of
     # the packed block) on the 16 MB scoped-vmem stack; keep the packed
     # block small enough that ~7 bytes/packed-byte of temporaries fit.
+    env = os.environ.get("DUODEC_INT4_TILE_N")  # sweep override
+    if env:
+        t = int(env)
+        return t if n % t == 0 else 0
     for t in (512, 256, 128):
         if n % t == 0 and (k // 2) * t <= 1536 * 1024:
             return t

@@ -1,0 +1,107 @@
+"""13B multi-slot TREE speculative serving throughput on the real chip.
+
+SpecTreeBatchedServer at the bench's calibrated 13B pair (INT4 weights,
+INT8 KV target, 3-of-40-layer draft), 4 slots, fused multi-iteration
+dispatch — the serving-scale counterpart of the single-stream headline.
+Writes the aggregate tok/s into BENCH_DETAILS.json under
+``serving_13b`` (merged, other keys preserved).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/serving_bench.py \
+    [alpha] [slots] [steps_per_dispatch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+S = 512
+PROMPT = 64
+MAX_NEW = 128
+SPEC = (2, 2, 1, 1, 1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.sampling_config import SamplingConfig
+    from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.quant import fuse_params
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, scale_residual, truncate_model,
+    )
+    from duodecoding_tpu.serving import Request
+    from duodecoding_tpu.serving.scheduler import SpecTreeBatchedServer
+
+    alpha = float(sys.argv[1]) if len(sys.argv) > 1 else 4.6e-4
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spd = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    cfg = resolve_config("llama-2-13b")
+    qparams = fuse_params(
+        init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    )
+    jax.block_until_ready(qparams["embed"])
+    tp = scale_residual(qparams, alpha)
+    dcfg, dp = truncate_model(cfg, tp, 3)
+
+    rng = np.random.default_rng(0)
+    n_req = 2 * slots
+    prompts = rng.integers(1, cfg.vocab_size, (n_req, PROMPT)).astype(np.int32)
+
+    def make_server():
+        return SpecTreeBatchedServer(
+            dp, dcfg, tp, cfg, tree_spec=SPEC, batch_size=slots,
+            max_seq_len=S, steps_per_dispatch=spd,
+            sampling=SamplingConfig(0.0), dtype=jnp.bfloat16, int8_kv=True,
+        )
+
+    # warmup/compile pass (prefill + fused multi-step programs)
+    t0 = time.time()
+    srv = make_server()
+    srv.submit(Request(0, prompts[0], max_new_tokens=16))
+    srv.run_until_drained()
+    print(f"[serving] warm/compile {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    srv = make_server()
+    for i in range(n_req):
+        srv.submit(Request(i, prompts[i], max_new_tokens=MAX_NEW))
+    stats = srv.run_until_drained()
+    accept = srv.total_accepted / max(srv.total_drafted, 1)
+    out = {
+        "slots": slots,
+        "spec": list(SPEC),
+        "steps_per_dispatch": spd,
+        "requests": n_req,
+        "max_new_tokens": MAX_NEW,
+        "alpha": alpha,
+        "tokens_per_second": round(stats["tokens_per_second"], 2),
+        "accept": round(accept, 3),
+        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
+        "generated_tokens": stats["generated_tokens"],
+        "wall_time": round(stats["wall_time"], 2),
+        "dispatches": stats["steps"],
+        "device_steps": srv._steps,
+    }
+    path = os.path.join(REPO, "BENCH_DETAILS.json")
+    try:
+        details = json.load(open(path))
+    except Exception:
+        details = {}
+    details["serving_13b"] = out
+    with open(path, "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
