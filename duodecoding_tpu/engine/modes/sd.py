@@ -19,6 +19,17 @@ from duodecoding_tpu.engine.registry import register_mode
 
 
 def _base_sd_metrics(engine, run):
+    from duodecoding_tpu.utils.debug import log_sd_alignment_replay
+
+    # cache-alignment forensics (env DUODEC_DEBUG_SD_ALIGNMENT=1): the
+    # reference logs per-stage cache snapshots inline
+    # (src/debug_logs.py:25); the device-resident loop's equivalent is a
+    # post-run replay of the same snapshot stream from the SDRecords
+    log_sd_alignment_replay(
+        "sd", run.prompt_len, run.n_final, run.actual_gamma, run.accepted,
+        run.emitted, run.iters, gamma=engine.config.gamma,
+        max_len=engine.config.max_seq_len,
+    )
     m = get_empty_metrics()
     m["generated_tokens"] = run.generated
     m["draft_forward_times"] = run.draft_steps

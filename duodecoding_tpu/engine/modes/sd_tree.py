@@ -157,6 +157,13 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
     # exact bug made the mode look 3x slower than it is)
     records = jax.device_get(records)
 
+    from duodecoding_tpu.utils.debug import log_sd_alignment_replay
+
+    log_sd_alignment_replay(
+        "sd_tree", L, n, records.actual_gamma, records.accepted,
+        records.emitted, iters, gamma=gamma, max_len=cfg.max_seq_len,
+    )
+
     m = get_empty_metrics()
     m["generated_tokens"] = n - L
     m["draft_forward_times"] = int(d_steps)

@@ -81,3 +81,78 @@ def filter_invalid_tokens(ids, vocab_size: int, name: str = "output"):
     if token_checks_enabled() and not mask.all():
         _limited_warn(name, f"{name}: {int((~mask).sum())} out-of-range tokens dropped")
     return ids[mask]
+
+
+# ---------------------------------------------------------------------------
+# SD cache-alignment forensics (reference src/debug_logs.py)
+# ---------------------------------------------------------------------------
+
+
+def sd_alignment_debug_enabled() -> bool:
+    """Env gate, same flag name as the reference
+    (src/debug_logs.py:10 ``DUODEC_DEBUG_SD_ALIGNMENT``)."""
+    return os.environ.get("DUODEC_DEBUG_SD_ALIGNMENT", "0") == "1"
+
+
+def log_sd_alignment_replay(
+    mode: str,
+    prompt_len: int,
+    n_final: int,
+    actual_gamma,
+    accepted,
+    emitted,
+    iters: int,
+    *,
+    gamma: int,
+    max_len: int,
+    logger=None,
+) -> list[str]:
+    """Replay the per-iteration cache-length trajectory from the device
+    records and emit [SD-ALIGN] snapshots + invariant checks.
+
+    The reference logs cache-state snapshots inline at every stage
+    (src/debug_logs.py:25 ``_log_sd_alignment_snapshot`` — prefix_len,
+    x_len, gamma, per-cache current/tracked/max). Our loops are
+    device-resident ``lax.while_loop`` programs, so inline host logging
+    would break the design; instead the SAME snapshot stream is
+    reconstructed post-run from the per-iteration SDRecords, checking the
+    architecture's cache-lag invariants as it goes (target lags the token
+    buffer by 1 at iteration boundaries; emitted <= gamma + 1;
+    accepted <= drafted). Returns the lines (and logs them when the env
+    gate is on)."""
+    import logging
+
+    lines: list[str] = []
+    if not sd_alignment_debug_enabled():
+        return lines
+    log = (logger or logging.getLogger("duodecoding_tpu.sd_align")).warning
+    n = int(prompt_len)
+    for i in range(int(iters)):
+        g = int(actual_gamma[i])
+        a = int(accepted[i])
+        e = int(emitted[i]) if emitted is not None else a + 1
+        n += e
+        note = ""
+        if a > g:
+            note = "INVARIANT-VIOLATION accepted>drafted"
+        elif e > gamma + 1:
+            note = "INVARIANT-VIOLATION emitted>gamma+1"
+        elif n - 1 > max_len:
+            note = "INVARIANT-VIOLATION target cache beyond max_len"
+        line = (
+            f"[SD-ALIGN] mode={mode} iter={i} stage=post_commit "
+            f"prefix_len={n} gamma={g} accepted={a} emitted={e} "
+            f"target(current={n - 1}, max={max_len}) draft(lag<=2)"
+        )
+        if note:
+            line += f", note={note}"
+        lines.append(line)
+        log(line)
+    if n != int(n_final):
+        line = (
+            f"[SD-ALIGN] mode={mode} stage=final MISMATCH: replayed "
+            f"n={n} != reported n={int(n_final)} (records/commit drift)"
+        )
+        lines.append(line)
+        log(line)
+    return lines

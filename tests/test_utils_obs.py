@@ -53,3 +53,69 @@ def test_device_detection_runs():
     assert len(mem) >= 1
     avail = detect_available_devices()
     assert isinstance(avail, list)
+
+
+def test_sd_alignment_replay_logs_and_detects(monkeypatch):
+    """SD-alignment forensics (reference src/debug_logs.py): env-gated
+    replay emits [SD-ALIGN] snapshots and flags invariant violations."""
+    import numpy as np
+
+    from duodecoding_tpu.utils.debug import log_sd_alignment_replay
+
+    monkeypatch.delenv("DUODEC_DEBUG_SD_ALIGNMENT", raising=False)
+    off = log_sd_alignment_replay(
+        "sd", 8, 14, np.array([4, 4]), np.array([2, 1]),
+        np.array([3, 3]), 2, gamma=4, max_len=64,
+    )
+    assert off == []
+
+    monkeypatch.setenv("DUODEC_DEBUG_SD_ALIGNMENT", "1")
+    ok = log_sd_alignment_replay(
+        "sd", 8, 14, np.array([4, 4]), np.array([2, 2]),
+        np.array([3, 3]), 2, gamma=4, max_len=64,
+    )
+    assert len(ok) == 2
+    assert all("[SD-ALIGN]" in ln and "note=" not in ln for ln in ok)
+
+    bad = log_sd_alignment_replay(
+        "sd", 8, 20, np.array([4, 4]), np.array([5, 2]),
+        np.array([6, 3]), 2, gamma=4, max_len=64,
+    )
+    assert any("INVARIANT-VIOLATION" in ln for ln in bad)
+    assert any("MISMATCH" in ln for ln in bad)  # replayed n != reported
+
+
+def test_sd_mode_emits_alignment_replay(monkeypatch, capsys):
+    """The sd mode routes its records through the forensics replay when
+    the env gate is on (end-to-end wiring, not just the helper)."""
+    import logging
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    cfg = resolve_config("test-tiny")
+    import jax
+
+    params = init_random_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    dparams = init_random_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    engine = Engine(
+        target=Tier(cfg, params), draft=Tier(cfg, dparams),
+        config=EngineConfig(
+            max_tokens=8, gamma=3, max_seq_len=64,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    monkeypatch.setenv("DUODEC_DEBUG_SD_ALIGNMENT", "1")
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    logging.getLogger("duodecoding_tpu.sd_align").addHandler(h)
+    try:
+        engine.run("sd", np.array([[3, 9, 2, 14, 8]]))
+    finally:
+        logging.getLogger("duodecoding_tpu.sd_align").removeHandler(h)
+    assert any("[SD-ALIGN]" in m for m in records)
+    assert not any("INVARIANT-VIOLATION" in m for m in records)
