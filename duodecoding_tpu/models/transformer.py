@@ -435,23 +435,14 @@ def forward(
             idx = (0, 0, start) + (0,) * (buf.ndim - 3)
             return jax.lax.dynamic_update_slice(buf, rows, idx)
 
-        # per-row offsets: a vmapped dynamic_update_slice over the batch
-        # axis instead of an advanced-indexing scatter — scatter-in-while
-        # compiles pathologically slowly on the TPU compiler (>9 min at
-        # serving shapes) while batched DUS lowers to a masked store.
-        # Inactive rows keep their current cache contents.
-        def one(bufb, rowsb, pos, act):  # bufb [L, S, ...], rowsb [L, T, ...]
-            idx = (0, pos) + (0,) * (bufb.ndim - 2)
-            cur = jax.lax.dynamic_slice(
-                bufb, idx, (bufb.shape[0], rowsb.shape[1]) + bufb.shape[2:]
-            )
-            return jax.lax.dynamic_update_slice(
-                bufb, jnp.where(act, rowsb, cur), idx
-            )
+        # per-row offsets: direct per-row DMA (ops/pallas/cache_write.py).
+        # The vmapped dynamic_update_slice alternative lowers to a masked
+        # store over the WHOLE buffer — measured 807 us vs 15 us per write
+        # at serving draft-cache shapes, and it dominated the batched
+        # tree-serving iteration. Inactive rows skip their DMA.
+        from duodecoding_tpu.ops.pallas.cache_write import window_write
 
-        return jax.vmap(one, in_axes=(1, 1, 0, 0), out_axes=1)(
-            buf, rows, start, active
-        )
+        return window_write(buf, rows, start, active)
 
     new_length = (
         jnp.where(active, start + T, start) if per_row else start + T

@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: per-row KV-cache window writes via direct DMA.
+
+Continuous batching gives every batch row its own cache offset
+(models/transformer.py per-row ``length``). The pure-XLA formulation — a
+vmapped ``dynamic_update_slice`` per row — lowers to a masked store that
+touches the WHOLE cache buffer: measured on-chip (tools, round 3) a
+[3, 16, 512, 40, 128] bf16 cache write cost 807 us per call vs 15 us for
+the scalar-offset store, and the per-row writes dominated the batched
+tree-serving iteration (~74 ms vs the engine loop's ~28 ms).
+
+This kernel writes each row's [T] window with a direct VMEM->HBM DMA at a
+dynamically computed element offset (``input_output_aliases`` keeps the
+cache in place; the destination ref lives in ANY/HBM space and is sliced
+with ``pl.ds`` per (layer, row)), so HBM traffic is O(L*B*T*H*D) — the
+rows themselves — instead of O(L*B*S*H*D).
+
+Inactive rows skip their DMA entirely (the reference semantics: an
+inactive slot's cache must not move).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(starts_ref, active_ref, rows_ref, buf_ref, out_ref, sem):
+    b = pl.program_id(0)
+    li = pl.program_id(1)
+    del buf_ref  # aliased with out_ref; the DMA below is the only write
+
+    @pl.when(active_ref[b] != 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            rows_ref.at[0, 0],
+            out_ref.at[li, b, pl.ds(starts_ref[b], rows_ref.shape[2])],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _window_write_tpu(buf, rows, starts, active, *, interpret=False):
+    L, B, T = rows.shape[0], rows.shape[1], rows.shape[2]
+    rest = rows.shape[3:]
+    grid = (B, L)
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, T) + rest, lambda b, li, st, ac: (li, b, 0)
+                    + (0,) * len(rest)
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={3: 0},  # buf (arg 3 incl. 2 prefetch) -> out
+        interpret=interpret,
+    )(
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(active, jnp.int32),
+        rows,
+        buf,
+    )
+
+
+def window_write(buf, rows, starts, active=None):
+    """Write ``rows[l, b]`` ([T, ...]) into ``buf[l, b, starts[b]:+T]``
+    for rows where ``active[b]``; inactive rows keep their cache bytes
+    untouched. O(rows) HBM traffic on TPU; dense fallback elsewhere.
+
+    buf: [L, B, S, ...]; rows: [L, B, T, ...]; starts: [B] int32.
+    """
+    B = rows.shape[1]
+    if active is None:
+        active = jnp.ones((B,), bool)
+    # the DMA path needs a 128-aligned minor dim (Mosaic rejects memref
+    # slices on e.g. [.., Hkv=40] f32 scale arrays); those buffers are
+    # ~64x smaller than the KV codes, so the masked-store fallback costs
+    # proportionally little there
+    if (
+        jax.default_backend() == "tpu"
+        and rows.ndim >= 4
+        and rows.shape[-1] % 128 == 0
+    ):
+        return _window_write_tpu(buf, rows, starts, active)
+
+    # reference path (CPU/tests): vmapped slice+select+store
+    def one(bufb, rowsb, pos, act):
+        idx = (0, pos) + (0,) * (bufb.ndim - 2)
+        cur = jax.lax.dynamic_slice(
+            bufb, idx, (bufb.shape[0], rowsb.shape[1]) + bufb.shape[2:]
+        )
+        return jax.lax.dynamic_update_slice(
+            bufb, jnp.where(act, rowsb, cur), idx
+        )
+
+    return jax.vmap(one, in_axes=(1, 1, 0, 0), out_axes=1)(
+        buf, rows, starts, active
+    )
