@@ -384,10 +384,19 @@ def _spec_tree_core(
     contract; sampled multi-slot serving uses the chain
     ``spec_batched_step``.
     """
+    import os
+
     import numpy as np
 
     from duodecoding_tpu.engine.tree_loops import spec_layout
     from duodecoding_tpu.ops.sampling import top_k_via_argmax
+
+    # perf-bisect diagnostics (read at TRACE time, like DUODEC_TREE_PROBE):
+    # comma-separated stage skips - "nodraft" fakes the chains without the
+    # draft forwards, "noverify" fakes target logits, "noreloc" skips the
+    # target-cache relocation. Output is WRONG under any probe; only for
+    # locating iteration cost on-chip.
+    probe = os.environ.get("DUODEC_SERVE_PROBE", "")
 
     B, S = token_buf.shape
     gamma = len(spec)
@@ -400,6 +409,19 @@ def _spec_tree_core(
     p = n_tokens  # [B]
     CU = gamma + 2
     lane_active = jnp.repeat(active, lanes)
+
+    if "nodraft" in probe:
+        d_cache = d_cache._replace(
+            length=jnp.minimum(d_cache.length, jnp.repeat(p, lanes))
+        )
+        chains = (
+            (jnp.arange(B * lanes, dtype=jnp.int32)[:, None] * 7
+             + jnp.arange(gamma, dtype=jnp.int32)[None, :] + p[0]) % 1000
+        ).reshape(B, lanes, gamma)
+        return _tree_verify_commit(
+            target_params, token_buf, p, d_cache, t_cache, active, chains,
+            target_cfg=target_cfg, spec=spec, eos_ids=eos_ids, probe=probe,
+        )
 
     # --- draft catch-up: rewind every slot's lanes to p-CU, forward CU ---
     lane_p = jnp.repeat(p, lanes)  # [B*lanes]
@@ -439,24 +461,53 @@ def _spec_tree_core(
     )  # rest: [gamma-1, B*lanes]
     chains = jnp.concatenate([chain0[None], rest], axis=0)  # [gamma, B*lanes]
     chains = chains.reshape(gamma, B, lanes).transpose(1, 2, 0)  # [B, lanes, g]
+    return _tree_verify_commit(
+        target_params, token_buf, p, d_cache, t_cache, active, chains,
+        target_cfg=target_cfg, spec=spec, eos_ids=eos_ids, probe=probe,
+        verify_vocab=verify_vocab,
+    )
+
+
+def _tree_verify_commit(
+    target_params, token_buf, p, d_cache, t_cache, active, chains, *,
+    target_cfg, spec, eos_ids, probe="", verify_vocab=None,
+):
+    """Verify + walk + commit + relocation half of the batched tree
+    iteration (shared with the DUODEC_SERVE_PROBE diagnostics)."""
+    import numpy as np
+
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+
+    B, S = token_buf.shape
+    gamma = len(spec)
+    lanes = int(np.prod(spec))
+    lay = spec_layout(spec)
+    T = int(lay.offsets.shape[0])
+    rows = jnp.arange(B)
+    if verify_vocab is None:
+        verify_vocab = target_cfg.vocab_size
 
     # --- verify: ONE batched tree-attention forward ---
     t_cache = t_cache._replace(length=p - 1)
     last_tok = token_buf[rows, p - 1]  # [B]
     ver_nodes = chains[:, lay.node_from_lane, lay.node_level]  # [B, T-1]
     ver_in = jnp.concatenate([last_tok[:, None], ver_nodes], axis=1)  # [B, T]
-    t_logits, t_cache = forward(
-        target_params,
-        target_cfg,
-        ver_in,
-        t_cache,
-        position_offsets=jnp.asarray(lay.offsets),
-        window_mask=jnp.asarray(lay.mask),
-        active=active,
-    )
-    preds = jnp.argmax(t_logits[:, :, :verify_vocab], axis=-1).astype(
-        jnp.int32
-    )  # [B, T]
+    if "noverify" in probe:
+        preds = (ver_in * 3 + 1) % 997  # fake target argmax (diagnostics)
+        t_cache = t_cache._replace(length=t_cache.length + T)
+    else:
+        t_logits, t_cache = forward(
+            target_params,
+            target_cfg,
+            ver_in,
+            t_cache,
+            position_offsets=jnp.asarray(lay.offsets),
+            window_mask=jnp.asarray(lay.mask),
+            active=active,
+        )
+        preds = jnp.argmax(t_logits[:, :, :verify_vocab], axis=-1).astype(
+            jnp.int32
+        )  # [B, T]
 
     # --- greedy walk per slot ---
     preds_parent = jnp.take_along_axis(
@@ -510,6 +561,8 @@ def _spec_tree_core(
     for f in t_cache._fields:
         if f == "length":
             continue
+        if "noreloc" in probe:
+            break
         kw[f] = jax.vmap(move_row, in_axes=(1, 0, 0), out_axes=1)(
             getattr(t_cache, f), start, perm
         )
