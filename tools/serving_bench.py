@@ -92,6 +92,10 @@ def main():
         "dispatches": stats["steps"],
         "device_steps": srv._steps,
     }
+    if os.environ.get("DUODEC_SERVE_PROBE"):
+        # stage-skip diagnostics produce WRONG outputs — never record them
+        print(json.dumps(out))
+        return
     path = os.path.join(REPO, "BENCH_DETAILS.json")
     try:
         details = json.load(open(path))
