@@ -242,8 +242,9 @@ def forward(
         # (dssd/cee catch-up forwards are B=1, T=2). Tree windows are
         # T>=8 with per-row masks — the kernel wins there at any B.
         and (B >= 2 or S > 2048 or tree_flash)
-        and not per_row  # per-row lengths keep the dense path (kernel
-        # block-clamping is scalar; serving attention is batch-amortized)
+        # per-row lengths (continuous batching) use the same kernel with
+        # per-row block clamping (nb[b]/ln[b] in the index maps) — each
+        # row reads only ITS valid prefix
         and os.environ.get("DUODEC_NO_FLASH") != "1"
     )
     # Both cache dtypes use the STACKED kernel (whole cache +

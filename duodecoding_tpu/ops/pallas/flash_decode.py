@@ -212,8 +212,8 @@ def flash_decode_attention(
 
 
 def _kernel_stacked(
-    nb_ref,  # scalar prefetch: [1] int32 — number of valid KV blocks
-    ln_ref,  # scalar prefetch: [1] int32 — cache length (prefix only)
+    nb_ref,  # scalar prefetch: [B] int32 — per-row valid KV block counts
+    ln_ref,  # scalar prefetch: [B] int32 — per-row prefix lengths
     lidx_ref,  # scalar prefetch: [1] int32 — layer index (used in index_map)
     q_ref,  # [1, Hkv, RT, D]
     k_ref,  # [1, 1, block_k, Hkv, D] — layer block of the stacked cache
@@ -225,6 +225,7 @@ def _kernel_stacked(
     scale: float,
     quant: bool = False,
     masked: bool = False,
+    row_ln: bool = False,  # per-row prefix lengths ([B] prefetch arrays)
 ):
     rest = list(rest)
     ks_ref = vs_ref = wm_ref = None
@@ -236,6 +237,10 @@ def _kernel_stacked(
         rest = rest[1:]
     kn_ref, vn_ref, o_ref, m_scr, l_scr, acc_scr = rest
     del lidx_ref
+    # scalar lengths index [1] prefetch arrays at 0 — the per-row form
+    # compiles 8x slower inside nested while programs and measured ~5%
+    # slower in the engine loop, so it is opt-in via row_ln
+    bi = pl.program_id(0) if row_ln else 0
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     Hkv = q_ref.shape[1]
@@ -252,12 +257,12 @@ def _kernel_stacked(
     # (positions < length), so visibility is row-independent. Skipped
     # entirely for an empty prefix (an all-masked block would poison the
     # online softmax: exp(NEG_INF - NEG_INF) = 1).
-    @pl.when((j < nb_ref[0]) & (ln_ref[0] > 0))
+    @pl.when((j < nb_ref[bi]) & (ln_ref[bi] > 0))
     def _block():
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (RT, block_k), 1
         )
-        visible = k_pos < ln_ref[0]  # [RT, block_k]
+        visible = k_pos < ln_ref[bi]  # [RT, block_k]
 
         for h in range(Hkv):
             q = q_ref[0, h].astype(jnp.float32)  # [RT, D]
@@ -390,20 +395,26 @@ def flash_decode_stacked(
     qg = q.reshape(B, T, Hkv, rep, D).transpose(0, 2, 3, 1, 4).reshape(
         B, Hkv, RT, D
     )
+    # per-row prefix lengths (continuous batching: [B] vector) or one
+    # scalar length; the scalar form keeps [1] prefetch arrays and
+    # row-independent index maps (measurably faster in nested programs)
     length = jnp.asarray(length, jnp.int32)
+    row_ln = length.ndim == 1
+    length = length.reshape(-1)
     n_blocks = jnp.maximum((length + block_k - 1) // block_k, 1)
     layer = jnp.asarray(layer, jnp.int32)
     RTp = _rt_pad(RT)
     quant = k_scale_all is not None
+    bsel = (lambda nb, b: nb[b]) if row_ln else (lambda nb, b: nb[0])
 
     def q_map(b, j, nb, ln, l):
         return (b, 0, 0, 0)
 
     def kv_map(b, j, nb, ln, l):
-        return (l[0], b, jnp.minimum(j, nb[0] - 1), 0, 0)
+        return (l[0], b, jnp.minimum(j, bsel(nb, b) - 1), 0, 0)
 
     def sc_map(b, j, nb, ln, l):
-        return (l[0], b, jnp.minimum(j, nb[0] - 1), 0)
+        return (l[0], b, jnp.minimum(j, bsel(nb, b) - 1), 0)
 
     def w_map(b, j, nb, ln, l):
         return (b, 0, 0, 0)
@@ -435,7 +446,7 @@ def flash_decode_stacked(
     out = pl.pallas_call(
         functools.partial(
             _kernel_stacked, block_k=block_k, T=T, scale=scale, quant=quant,
-            masked=masked,
+            masked=masked, row_ln=row_ln,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -451,7 +462,7 @@ def flash_decode_stacked(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, RT, D), q.dtype),
         interpret=interpret,
     )(
-        n_blocks.reshape(1), length.reshape(1), layer.reshape(1), *args
+        n_blocks, length, layer.reshape(1), *args
     )
 
     return out.reshape(B, Hkv, rep, T, D).transpose(0, 3, 1, 2, 4).reshape(

@@ -244,3 +244,58 @@ class TestStackedFlashTreeMask:
             np.asarray(out), np.asarray(ref),
             rtol=2e-3 if quant else 2e-4, atol=2e-3 if quant else 2e-4,
         )
+
+
+class TestStackedFlashPerRow:
+    """per-row prefix lengths (continuous batching): each row attends its
+    OWN valid prefix + the causal fresh window."""
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_matches_per_row_dense(self, quant):
+        from duodecoding_tpu.ops.pallas.flash_decode import (
+            flash_decode_stacked,
+        )
+
+        L, B, T, H, Hkv, D, S, layer = 2, 4, 3, 4, 2, 64, 256, 1
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+        kf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        vf = jnp.asarray(rng.normal(size=(L, B, S, Hkv, D)), jnp.float32)
+        k_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        v_new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)), jnp.float32)
+        lengths = jnp.asarray([0, 17, 128, 253], jnp.int32)
+
+        if quant:
+            from duodecoding_tpu.models.kv_quant import (
+                dequantize_kv, quantize_kv,
+            )
+
+            k_codes, k_s = quantize_kv(kf)
+            v_codes, v_s = quantize_kv(vf)
+            out = flash_decode_stacked(
+                q, k_codes, v_codes, k_new, v_new, lengths,
+                jnp.int32(layer), k_s, v_s, block_k=128, interpret=True,
+            )
+            k_layer = dequantize_kv(k_codes[layer], k_s[layer], jnp.float32)
+            v_layer = dequantize_kv(v_codes[layer], v_s[layer], jnp.float32)
+            tol = 2e-3
+        else:
+            out = flash_decode_stacked(
+                q, kf, vf, k_new, v_new, lengths, jnp.int32(layer),
+                block_k=128, interpret=True,
+            )
+            k_layer, v_layer = kf[layer], vf[layer]
+            tol = 2e-4
+
+        # per-row dense reference
+        for b in range(B):
+            ln = int(lengths[b])
+            kc = k_layer[b].at[ln : ln + T].set(k_new[b])
+            vc = v_layer[b].at[ln : ln + T].set(v_new[b])
+            ref = flash_decode_reference(
+                q[b : b + 1], kc[None], vc[None], jnp.int32(ln)
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b : b + 1]), np.asarray(ref),
+                rtol=tol, atol=tol,
+            )
