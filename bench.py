@@ -257,7 +257,9 @@ def part_a_13b(tiny):
     pbytes = param_bytes(qparams)
     log(f"[bench] A: init {time.time()-t0:.1f}s, {pbytes/1e9:.2f} GB packed")
 
-    rng = np.random.default_rng(0)
+    # BENCH_PROMPT_SEED: seed-sensitivity runs (the calibration bisects
+    # accept per prompt set, so any seed is measured on equal terms)
+    rng = np.random.default_rng(int(os.environ.get("BENCH_PROMPT_SEED", "0")))
     prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
 
     def measure_sd(alpha, g=gamma, mode="sd", **mode_kw):
@@ -380,7 +382,7 @@ def part_a_13b(tiny):
     # this measures the device-resident pipeline protocol's overhead vs
     # the fused chain-sd while program; the split() placement is the
     # multi-chip deployment (dryrun_multichip step 3). BENCH_HETERO=1.
-    if not tiny and os.environ.get("BENCH_HETERO") == "1":
+    if not tiny and os.environ.get("BENCH_HETERO", "1") == "1":
         from duodecoding_tpu.parallel.hetero import (
             HeteroPlacement, hetero_sd_generate,
         )
@@ -531,9 +533,20 @@ def main():
         details["dssd_baseline_row"] = part_b_dssd(tiny)
 
     # tiny (CPU smoke) runs write a SEPARATE file: a smoke must never
-    # clobber the real on-chip artifact
+    # clobber the real on-chip artifact. Real runs MERGE into the existing
+    # file so rows produced by side benches (serving_13b from
+    # tools/serving_bench.py) survive a re-run of this script.
     name = "BENCH_DETAILS_TINY.json" if tiny else "BENCH_DETAILS.json"
-    with open(os.path.join(os.path.dirname(__file__) or ".", name), "w") as f:
+    path = os.path.join(os.path.dirname(__file__) or ".", name)
+    if not tiny and os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+        merged.update(details)
+        details = merged
+    with open(path, "w") as f:
         json.dump(details, f, indent=2)
 
     a = details.get("speedup_13b")
