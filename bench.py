@@ -139,7 +139,12 @@ def run_prompts(engine, mode, prompts, **kw):
     wall = sum(w for _, w, _ in keep)
     accepts = [a for _, _, a in keep if a is not None]
     tps_each = [t / max(w, 1e-9) for t, w, _ in per]
+    toks_all = sum(t for t, _, _ in per)
+    wall_all = sum(w for _, w, _ in per)
     spread = {
+        # unfiltered aggregate next to the filtered headline so the
+        # 0.95-threshold sensitivity is visible in the artifact itself
+        "tps_unfiltered": round(toks_all / max(wall_all, 1e-9), 2),
         "tps_per_prompt": [round(t, 2) for t in tps_each],
         "tps_sd": round(float(np.std(tps_each)), 2),
         "accept_per_prompt": [
@@ -490,10 +495,13 @@ def part_b_dssd(tiny):
             "wall_time": wall,
         }
 
+    # tol matches part A's contract (a 0.04-tol early exit landed round 3
+    # at accept 0.592 vs the 0.562 contract, inflating dssd throughput);
+    # warm bracket from the round-3 probes (0.562 lies in [0.102, 0.104])
     best = calibrate_on_measurement(
-        measure_dssd, iters=3 if tiny else 6, tag=" B:",
-        # warm bracket (alpha* ~0.10 for seed 1, measured in round 2)
-        lo=1e-4 if tiny else 0.05, hi=0.5 if tiny else 0.2,
+        measure_dssd, iters=3 if tiny else 10, tag=" B:",
+        tol=0.04 if tiny else 0.015,
+        lo=1e-4 if tiny else 0.09, hi=0.5 if tiny else 0.13,
     )
     log(f"[bench] B: dssd {best['tps']:.2f} tok/s at accept "
         f"{best['accept']:.3f} (comm {best['comm_time']:.1f}s of "
@@ -538,14 +546,31 @@ def main():
     # tools/serving_bench.py) survive a re-run of this script.
     name = "BENCH_DETAILS_TINY.json" if tiny else "BENCH_DETAILS.json"
     path = os.path.join(os.path.dirname(__file__) or ".", name)
+    # provenance: stamp each section with the producing commit + time so
+    # merged artifacts can't silently mix results from different code
+    try:
+        import subprocess
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(__file__) or ".",
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    prov = {
+        k: {"commit": commit, "time": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        for k in details if k != "tiny"
+    }
     if not tiny and os.path.exists(path):
         try:
             with open(path) as f:
                 merged = json.load(f)
         except Exception:
             merged = {}
+        prov = {**merged.get("provenance", {}), **prov}
         merged.update(details)
         details = merged
+    details["provenance"] = prov
     with open(path, "w") as f:
         json.dump(details, f, indent=2)
 

@@ -155,6 +155,11 @@ def block(*arrays):
     host transfer of the LAST array — all outputs of an XLA executable
     materialise together, so fetching one waits for the whole program.
     One fetch only: each extra host round-trip costs ~27 ms on the remote
-    backend, so the per-array block_until_ready loop was pure overhead."""
+    backend, so the per-array block_until_ready loop was pure overhead.
+
+    REQUIREMENT: all ``arrays`` must be outputs of the SAME executable (one
+    jitted program) — fetching the last one then implies the rest are
+    materialised. Passing arrays from different executables would silently
+    undercount timing; every current caller passes one program's outputs."""
     if arrays:
         jax.device_get(arrays[-1])

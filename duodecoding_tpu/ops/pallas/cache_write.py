@@ -68,7 +68,9 @@ def _window_write_tpu(buf, rows, starts, active, *, interpret=False):
         input_output_aliases={3: 0},  # buf (arg 3 incl. 2 prefetch) -> out
         interpret=interpret,
     )(
-        jnp.asarray(starts, jnp.int32),
+        # clamp like the dynamic_update_slice fallback: an out-of-range
+        # start must not DMA past the row into the next slot's cache
+        jnp.clip(jnp.asarray(starts, jnp.int32), 0, buf.shape[2] - T),
         jnp.asarray(active, jnp.int32),
         rows,
         buf,

@@ -116,7 +116,10 @@ class BatchedServer:
         req = self.slot_req[slot]
         if req is None:
             return
-        n = int(self.n_tokens[slot])
+        # speculative steps can overshoot the deadline by up to gamma
+        # accepted tokens in one iteration; clamp so every server honors
+        # the same exact-count contract as the AR path
+        n = min(int(self.n_tokens[slot]), req._deadline)
         req.output = np.asarray(self.token_buf[slot, :n])
         req.n_generated = n - req._start
         req.latency = time.perf_counter() - req._t_submit
