@@ -14,6 +14,7 @@ from duodecoding_tpu.engine.modes import (  # noqa: F401
     medusa,
     rest,
     sd,
+    sd_beam,
     sd_tree,
     space,
     tridecoding,
