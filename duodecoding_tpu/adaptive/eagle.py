@@ -199,12 +199,7 @@ class EagleDraftOut(NamedTuple):
     new_length: jax.Array  # stable cache length after catch-up
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "depth", "top_k"),
-    donate_argnames=("cache",),
-)
-def eagle_draft_step(
+def eagle_beam_expand(
     eparams,
     embed: jax.Array,  # [V, d]
     head: jax.Array,  # [d, V]
@@ -216,14 +211,19 @@ def eagle_draft_step(
     *,
     depth: int,
     top_k: int,
-) -> EagleDraftOut:
+) -> Tuple[EagleDraftOut, jax.Array]:
     """Catch the feature cache up over the newly committed pairs, then
     expand a candidate beam tree of ``depth`` levels x ``top_k`` beams.
+    Returns ``(EagleDraftOut, root logits [V])``.
 
     Mirrors the reference's ``topK_genrate`` (eagle2/cnets.py:660-800): the
     catch-up forward is its ``stable_kv`` extension (cnets.py:680-686), the
     scan body is its per-depth loop (cnets.py:704-742) with the tree mask
     carried as an ancestor-bit matrix instead of a concatenated tensor.
+
+    Pure traced function — the host-driven modes call it through the
+    jitted :func:`eagle_draft_step`; the device-resident loop
+    (engine/modes/eagle_fused.py) traces it inline inside its while body.
     """
     B, Wc = pair_tokens.shape
     d = cfg.hidden_size
@@ -316,6 +316,57 @@ def eagle_draft_step(
         kept_choice=kept_flat.astype(jnp.int32),
         cache=out_cache,
         new_length=stable,
+    ), logits0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "depth", "top_k"),
+    donate_argnames=("cache",),
+)
+def eagle_draft_step(
+    eparams,
+    embed: jax.Array,
+    head: jax.Array,
+    cfg: ModelConfig,
+    cache: KVCache,
+    pair_tokens: jax.Array,
+    pair_hidden: jax.Array,
+    valid: jax.Array,
+    *,
+    depth: int,
+    top_k: int,
+) -> EagleDraftOut:
+    """Jitted wrapper of :func:`eagle_beam_expand` (host-driven modes)."""
+    out, _ = eagle_beam_expand(
+        eparams, embed, head, cfg, cache, pair_tokens, pair_hidden, valid,
+        depth=depth, top_k=top_k,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+)
+def eagle_catchup(
+    eparams,
+    embed: jax.Array,
+    cfg: ModelConfig,
+    cache: KVCache,
+    pair_tokens: jax.Array,  # [1, C] (padded)
+    pair_hidden: jax.Array,  # [1, C, d]
+    valid: jax.Array,  # scalar — number of valid pairs
+) -> KVCache:
+    """Advance the feature cache over ``valid`` committed pairs without
+    beam expansion — prompt seeding for the fused device loop
+    (engine/beam_tree.py::eagle_beam_generate). Padding rows are inert:
+    causal attention keeps row i blind to rows > i, and the length
+    rollback discards rows >= valid."""
+    _, cache = eagle_forward(
+        eparams, cfg, embed, pair_tokens, pair_hidden, cache
+    )
+    return cache._replace(
+        length=cache.length - pair_tokens.shape[1] + valid
     )
 
 

@@ -268,7 +268,10 @@ def build_mode_kwargs(args, engine):
             kw["tree_gap"] = tuple(
                 float(t) for t in args.tree_gap.split(",") if t
             )
-    if args.eval_mode in ("medusa", "hydra", "eagle", "eagle2", "space"):
+    if args.eval_mode in (
+        "medusa", "hydra", "eagle", "eagle2", "eagle2_fused", "eagle_fused",
+        "space",
+    ):
         kw.update(_self_distill_heads(args, engine))
     if args.eval_mode == "cee_cuhlm":
         kw["little_threshold"] = args.small_draft_threshold

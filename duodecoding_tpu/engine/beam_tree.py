@@ -524,3 +524,148 @@ def beam_tree_generate(
         out.draft_steps,
         out.target_steps,
     )
+
+
+# --------------------------------------------------------------------------
+# EAGLE feature-draft generation loop
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_cfg",
+        "beam_k",
+        "beam_depth",
+        "n_nodes",
+        "max_new_tokens",
+        "eos_ids",
+    ),
+    donate_argnums=(4, 5, 6),
+)
+def eagle_beam_generate(
+    eagle_params,
+    embed: jax.Array,  # [V, d] frozen target embedding
+    head: jax.Array,  # [d, V] frozen target unembedding
+    target_params,
+    tokens: jax.Array,
+    eagle_cache,
+    target_cache,
+    n_tokens: jax.Array,
+    init_pair_tokens: jax.Array,  # [1, Wc]
+    init_pair_hidden: jax.Array,  # [1, Wc, d]
+    init_valid: jax.Array,
+    *,
+    target_cfg: ModelConfig,
+    beam_k: int,
+    beam_depth: int,
+    n_nodes: int,
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+):
+    """Device-resident EAGLE-2 generation: feature-net beam expansion +
+    dynamic top-N tree verify inside one while-loop program.
+
+    The verify forward returns hidden states (``return_hidden``) at every
+    window row; the accepted rows' hiddens become the next iteration's
+    (hidden, token) catch-up pairs — the data dependence that makes EAGLE
+    drafting inherently verify-coupled (reference ea_model.py:154
+    ``eagenerate``). The caller seeds the eagle cache over the prompt and
+    passes the LAST prompt pair as the initial window (valid = 1).
+    """
+    from duodecoding_tpu.adaptive.eagle import eagle_beam_expand
+
+    K, D, N = beam_k, beam_depth, n_nodes
+    Wc = D + 2  # max committed per iteration (chain D+1 + bonus)
+    verify_vocab = target_cfg.vocab_size
+    limit = n_tokens + max_new_tokens
+    d = target_cfg.hidden_size
+
+    def cond(s: BeamTreeState):
+        return jnp.logical_and(s.n_tokens < limit, ~jnp.all(s.done))
+
+    def body(s: BeamTreeState):
+        ds = s.draft_state
+        eo, root_logits = eagle_beam_expand(
+            eagle_params,
+            embed,
+            head,
+            target_cfg,
+            ds["cache"],
+            ds["pair_t"],
+            ds["pair_h"],
+            ds["valid"],
+            depth=D,
+            top_k=K,
+        )
+        beam = BeamOut(
+            root_tokens=eo.root_tokens,
+            root_scores=eo.root_scores,
+            cand_tokens=eo.cand_tokens,
+            cand_scores=eo.cand_scores,
+            kept_choice=eo.kept_choice,
+            root_logits=root_logits,
+        )
+        new_s, aux = verify_and_commit(
+            target_params,
+            s,
+            beam,
+            target_cfg=target_cfg,
+            n_nodes=N,
+            max_depth=D + 1,
+            eos_ids=eos_ids,
+            limit=limit,
+            verify_vocab=verify_vocab,
+            return_hidden=True,
+        )
+        # next catch-up pairs: committed token j's predecessor hidden is
+        # window row 0 (j = 0) or the (j-1)-th accepted node's row
+        m = aux["m"]
+        chain_nodes = aux["chain_nodes"]  # [D + 1]
+        hidden = aux["hidden"][0]  # [N + 1, d]
+        j = jnp.arange(Wc, dtype=jnp.int32)
+        new_toks = jnp.where(
+            j < m,
+            jnp.take(aux["chain_tokens"], jnp.minimum(j, D)),
+            jnp.where(j == m, aux["bonus"], 0),
+        )
+        rows = jnp.where(
+            j == 0,
+            0,
+            jnp.take(chain_nodes, jnp.minimum(jnp.maximum(j - 1, 0), D)) + 1,
+        )
+        pair_h = jnp.take(hidden, rows, axis=0).astype(ds["pair_h"].dtype)
+        new_ds = {
+            "cache": eo.cache,
+            "pair_t": new_toks[None, :],
+            "pair_h": pair_h[None, :, :],
+            "valid": m + 1,
+        }
+        return new_s._replace(draft_state=new_ds)
+
+    init = BeamTreeState(
+        tokens=tokens,
+        n_tokens=jnp.asarray(n_tokens, jnp.int32),
+        draft_state={
+            "cache": eagle_cache,
+            "pair_t": jnp.asarray(init_pair_tokens, jnp.int32),
+            "pair_h": init_pair_hidden,
+            "valid": jnp.asarray(init_valid, jnp.int32),
+        },
+        target_cache=target_cache,
+        done=jnp.zeros((tokens.shape[0],), bool),
+        it=jnp.int32(0),
+        draft_steps=jnp.int32(0),
+        target_steps=jnp.int32(0),
+        records=init_sd_records(max_new_tokens),
+    )
+    del d
+    out = jax.lax.while_loop(cond, body, init)
+    return (
+        out.tokens,
+        out.n_tokens,
+        out.records,
+        out.it,
+        out.draft_steps,
+        out.target_steps,
+    )

@@ -10,6 +10,7 @@ from duodecoding_tpu.engine.modes import (  # noqa: F401
     dsd,
     dssd,
     eagle,
+    eagle_fused,
     lookahead,
     medusa,
     rest,
