@@ -374,6 +374,15 @@ def verify_and_commit(
     emitted = m + 1
     done = s.done | _stops_hit(tokens, n, emitted, eos_ids, max_depth + 1)
 
+    from duodecoding_tpu.utils.debug import emit_sd_align_inline
+
+    emit_sd_align_inline(
+        "beam_tree", "post_commit",
+        prefix_len=n_new, gamma=max_depth, accepted=m,
+        target_len=n_new - 1, draft_len=n_new - 1,
+        max_len=tokens.shape[1],
+    )
+
     q0 = norm_logits(beam.root_logits[None, :], 0.0, 0, 0.0)
     rec = s.records
     records = SDRecords(

@@ -517,6 +517,15 @@ def sd_iteration(
     emitted = new_n_tokens - prefix_len
     done = s.done | _stops_hit(tokens, prefix_len, emitted, eos_ids, gamma + 1)
 
+    from duodecoding_tpu.utils.debug import emit_sd_align_inline
+
+    emit_sd_align_inline(
+        "sd", "post_commit",
+        prefix_len=new_n_tokens, gamma=actual_gamma,
+        accepted=acc.accepted_count[0], target_len=n + 1, draft_len=n + 1,
+        max_len=tokens.shape[1],
+    )
+
     last_q = jnp.take_along_axis(
         q_window, jnp.maximum(actual_gamma - 1, 0)[None, None, None], axis=1
     )[:, 0, :]

@@ -272,6 +272,15 @@ def _tree_branch(
     emitted = m + 1
     done = s.done | _stops_hit(tokens, n, emitted, eos_ids, gamma + 1)
 
+    from duodecoding_tpu.utils.debug import emit_sd_align_inline
+
+    emit_sd_align_inline(
+        "sd_tree", "post_commit",
+        prefix_len=n_new, gamma=gamma, accepted=m,
+        target_len=n_new - 1, draft_len=d_cache.length,
+        max_len=tokens.shape[1],
+    )
+
     q0_full = norm_logits(logits[:1, -1, :], 0.0, 0, 0.0)
     rec = s.records
     records = SDRecords(

@@ -94,6 +94,56 @@ def sd_alignment_debug_enabled() -> bool:
     return os.environ.get("DUODEC_DEBUG_SD_ALIGNMENT", "0") == "1"
 
 
+def sd_align_inline_enabled() -> bool:
+    """Inline per-iteration snapshots from INSIDE device loops
+    (``jax.debug.callback``). Opt-in separately from the replay gate: the
+    callback forces a host sync per iteration, which is free on CPU test
+    runs but would serialize a remote TPU backend — the replay variant
+    (:func:`log_sd_alignment_replay`) stays canonical on-chip."""
+    return (
+        os.environ.get("DUODEC_DEBUG_SD_ALIGNMENT_INLINE", "0") == "1"
+    )
+
+
+def emit_sd_align_inline(
+    mode: str,
+    stage: str,
+    *,
+    prefix_len,
+    gamma,
+    accepted,
+    target_len,
+    draft_len,
+    max_len: int,
+):
+    """Call from TRACED loop bodies. When the inline gate is on at trace
+    time, inserts a ``jax.debug.callback`` that logs the same [SD-ALIGN]
+    snapshot stream the reference emits inline at every stage
+    (reference src/debug_logs.py:25 ``_log_sd_alignment_snapshot`` —
+    stage, prefix_len, gamma, per-cache current/max). No-op (zero traced
+    ops) when the gate is off."""
+    if not sd_align_inline_enabled():
+        return
+    import logging
+
+    import jax
+
+    log = logging.getLogger("duodecoding_tpu.sd_align").warning
+
+    def _cb(prefix_len, gamma, accepted, target_len, draft_len):
+        log(
+            f"[SD-ALIGN] mode={mode} stage={stage} "
+            f"prefix_len={int(prefix_len)} gamma={int(gamma)} "
+            f"accepted={int(accepted)} "
+            f"target(current={int(target_len)}, max={max_len}) "
+            f"draft(current={int(draft_len)}, max={max_len})"
+        )
+
+    jax.debug.callback(
+        _cb, prefix_len, gamma, accepted, target_len, draft_len
+    )
+
+
 def log_sd_alignment_replay(
     mode: str,
     prompt_len: int,

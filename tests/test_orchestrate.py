@@ -116,3 +116,53 @@ def test_exp_runner_subprocess_end_to_end(tmp_path):
     assert res["status"] == "success", open(res["log"]).read()[-2000:]
     assert res["summary"]["tokens_per_second"] > 0
     assert os.path.exists(out["summary_path"])
+
+
+def test_report_sections(tmp_path):
+    """Analysis-grade report sections (the reference notebooks' roles):
+    mode comparison, acceptance histories, wall-time composition,
+    bandwidth grouping — rendered from dumped metrics files."""
+    import json
+
+    from duodecoding_tpu.orchestrate import report
+
+    m1 = {
+        "generated_tokens": 100, "wall_time": 10.0, "throughput": 10.0,
+        "communication_time": 4.0, "computation_time": 5.0,
+        "queuing_time": 0.5, "draft_generated_tokens": 80,
+        "draft_accepted_tokens": 40, "avg_draft_len": 4.0, "avg_top_k": 512,
+        "edge_cloud_data_bytes": 2_000_000,
+        "draft_accept_rate_history": [0.2, 0.4, 0.6, 0.8],
+        "config": {"edge_cloud_bandwidth": 23.6},
+    }
+    m2 = {
+        "generated_tokens": 50, "wall_time": 2.0, "throughput": 25.0,
+        "communication_time": 0.0, "computation_time": 2.0,
+        "queuing_time": 0.0, "avg_draft_len": 0.0, "avg_top_k": 0,
+        "config": {"edge_cloud_bandwidth": 563.0},
+    }
+    (tmp_path / "dssd_gsm8k_metrics.json").write_text(json.dumps(m1))
+    (tmp_path / "large_gsm8k_metrics.json").write_text(json.dumps(m2))
+
+    metrics = report.load_metrics(str(tmp_path))
+    assert {m["_mode"] for m in metrics} == {"dssd", "large"}
+    assert all(m["_task"] == "gsm8k" for m in metrics)
+
+    cmp_tbl = report.mode_comparison(metrics)
+    assert "| dssd |" in cmp_tbl and "0.500" in cmp_tbl  # accept 40/80
+    assert "| 40 |" in cmp_tbl  # comm 4.0/10.0
+
+    acc_tbl = report.acceptance_summary(metrics)
+    assert "0.500" in acc_tbl  # mean of the history
+    assert "0.20 -> 0.40 -> 0.60 -> 0.80" in acc_tbl  # per-quartile trend
+
+    wt = report.walltime_composition(metrics)
+    assert "| dssd | 10.00 | 4.00 | 5.00 | 0.50 | 0.50 |" in wt
+
+    bw = report.bandwidth_table(metrics)
+    assert "| 23.6 | dssd |" in bw and "| 563.0 | large |" in bw
+
+    full = report.full_report(str(tmp_path))
+    for section in ("Mode comparison", "Acceptance rates",
+                    "Wall-time composition", "Bandwidth regimes"):
+        assert section in full

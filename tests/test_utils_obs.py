@@ -119,3 +119,43 @@ def test_sd_mode_emits_alignment_replay(monkeypatch, capsys):
         logging.getLogger("duodecoding_tpu.sd_align").removeHandler(h)
     assert any("[SD-ALIGN]" in m for m in records)
     assert not any("INVARIANT-VIOLATION" in m for m in records)
+
+
+def test_sd_mode_inline_alignment_callbacks(monkeypatch):
+    """Inline [SD-ALIGN] snapshots stream from INSIDE the device loop via
+    jax.debug.callback when DUODEC_DEBUG_SD_ALIGNMENT_INLINE=1 at trace
+    time (reference src/debug_logs.py:25 inline-snapshot parity)."""
+    import logging
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.models import init_random_params, resolve_config
+
+    cfg = resolve_config("test-tiny")
+    params = init_random_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    dparams = init_random_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    engine = Engine(
+        target=Tier(cfg, params), draft=Tier(cfg, dparams),
+        config=EngineConfig(
+            max_tokens=8, gamma=3, max_seq_len=64,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    monkeypatch.setenv("DUODEC_DEBUG_SD_ALIGNMENT_INLINE", "1")
+    jax.clear_caches()  # the gate acts at trace time; drop cached programs
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    logging.getLogger("duodecoding_tpu.sd_align").addHandler(h)
+    try:
+        _, m = engine.run("sd", np.array([[3, 9, 2, 14, 8]]))
+    finally:
+        logging.getLogger("duodecoding_tpu.sd_align").removeHandler(h)
+        monkeypatch.delenv("DUODEC_DEBUG_SD_ALIGNMENT_INLINE")
+        jax.clear_caches()  # don't leak callback-instrumented programs
+    inline = [r for r in records if "stage=post_commit" in r]
+    assert len(inline) == m["loop_times"]
+    assert all("target(current=" in r for r in inline)
