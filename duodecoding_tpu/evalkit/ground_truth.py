@@ -271,3 +271,59 @@ def cross_check_greedy(
         "n_prompts": len(prompts),
         "prefix_consistency": prefix_consistency(ours, theirs),
     }
+
+
+def task_metric_parity(
+    hf_model,
+    variants: dict,
+    prompts: List[np.ndarray],
+    max_new_tokens: int,
+) -> dict:
+    """END-TASK metric parity across engine variants vs the independent
+    HF stack (the BASELINE.json "accuracy parity" clause, measured within
+    sandbox limits — no real checkpoints, so the GOLD label is the HF
+    greedy output's own extracted answer and the metric is per-variant
+    agreement with it through the real GSM8K extraction machinery).
+
+    ``variants``: name -> (engine, mode, mode_kwargs). Token ids are
+    rendered as whitespace-separated decimal strings (the sandbox has no
+    tokenizer), which the ``####``/last-number extraction consumes like
+    any other completion text. Returns per-variant
+    ``task_metric_agreement`` (extracted-answer match rate vs HF) and
+    ``prefix_consistency`` (token identity)."""
+    from duodecoding_tpu.orchestrate.consistency import prefix_consistency
+
+    def render(ids) -> str:
+        return " ".join(str(int(t)) for t in ids)
+
+    golds, hf_texts = [], []
+    for p in prompts:
+        p64 = np.asarray(p, np.int64)
+        hf_out = hf_greedy_generate(hf_model, p64[None, :], max_new_tokens)
+        tail = hf_out[0][len(p):]
+        hf_texts.append(render(hf_out[0]))
+        golds.append(extract_pred_answer(render(tail)))
+
+    report = {
+        "gold_backend": "hf-transformers-torch-greedy",
+        "n_prompts": len(prompts),
+        "max_new_tokens": max_new_tokens,
+        "variants": {},
+    }
+    for name, (engine, mode, kw) in variants.items():
+        preds, texts = [], []
+        for p in prompts:
+            out, _ = engine.run(
+                mode, np.asarray(p, np.int32)[None, :], **kw
+            )
+            ids = np.asarray(out)[0]
+            texts.append(render(ids))
+            preds.append(extract_pred_answer(render(ids[len(p):])))
+        agree = sum(
+            1 for g, q in zip(golds, preds) if g is not None and g == q
+        ) / max(len(prompts), 1)
+        report["variants"][name] = {
+            "task_metric_agreement": agree,
+            "prefix_consistency": prefix_consistency(texts, hf_texts),
+        }
+    return report

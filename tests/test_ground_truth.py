@@ -169,3 +169,48 @@ def test_synthetic_fallback_warns(engine, tmp_path, monkeypatch):
         task.load_data()
     assert any("SYNTHETIC" in str(x.message) for x in w)
     assert task.data_source == "synthetic"
+
+
+def test_task_metric_parity_tiny_hf():
+    """End-task metric parity vs the independent HF stack (the
+    ACCURACY_PARITY.json artifact's machinery, tools/accuracy_parity.py)."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Engine, EngineConfig, Tier
+    from duodecoding_tpu.evalkit.ground_truth import task_metric_parity
+    from duodecoding_tpu.models.loader import (
+        config_from_hf,
+        params_from_hf_state_dict,
+    )
+    from duodecoding_tpu.models.surgery import truncate_model
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, "tiny")
+    params = params_from_hf_state_dict(cfg, model.state_dict(), jnp.float32)
+    dcfg, dparams = truncate_model(cfg, params, 1)
+    engine = Engine(
+        target=Tier(cfg, params), draft=Tier(dcfg, dparams),
+        config=EngineConfig(
+            max_tokens=8, gamma=2, max_seq_len=64,
+            param_dtype=jnp.float32, cache_dtype=jnp.float32,
+        ),
+    )
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(1, cfg.vocab_size, 7) for _ in range(2)]
+    rep = task_metric_parity(
+        model, {"ar": (engine, "large", {}), "sd": (engine, "sd", {})},
+        prompts, max_new_tokens=8,
+    )
+    for v in rep["variants"].values():
+        assert v["task_metric_agreement"] == 1.0
+        assert v["prefix_consistency"] == 1.0

@@ -1,0 +1,163 @@
+"""On-chip probe: self-distill an EAGLE feature draft against the
+calibrated 13B target and measure `eagle2_fused` end-to-end.
+
+Methodology (honest-accept): the TARGET is the bench part-A pair's
+calibrated model (fixed residual scale alpha from BENCH_DETAILS.json) —
+the same model whose chain-SD accept matches the 0.562 baseline contract.
+The eagle draft is trained ONLY on the target's own greedy rollouts over
+TRAINING prompts (seed 123), disjoint from the bench measurement prompts
+(seed 0); its measured decode-time accept is whatever distillation
+achieves — reported, never assumed. AR throughput is unaffected either
+way, so speedup comparisons stay apples-to-apples.
+
+Env: PROBE_ALPHA, PROBE_DEPTH, PROBE_TOPK, PROBE_N, PROBE_EPOCHS,
+PROBE_TRAIN_PROMPTS, PROBE_LAYERS (eagle decoder layers), PROBE_PROMPTS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import PROMPT_LEN, make_engine, log  # noqa: E402
+from duodecoding_tpu.models import resolve_config  # noqa: E402
+from duodecoding_tpu.models.quant import fuse_params  # noqa: E402
+from duodecoding_tpu.models.surgery import (  # noqa: E402
+    init_random_quant_params,
+    scale_residual,
+    truncate_model,
+)
+
+
+def main():
+    alpha = float(os.environ.get("PROBE_ALPHA", "5.2249e-4"))
+    depth = int(os.environ.get("PROBE_DEPTH", "6"))
+    top_k = int(os.environ.get("PROBE_TOPK", "8"))
+    n_nodes = int(os.environ.get("PROBE_N", "32"))
+    epochs = int(os.environ.get("PROBE_EPOCHS", "120"))
+    n_train = int(os.environ.get("PROBE_TRAIN_PROMPTS", "8"))
+    e_layers = int(os.environ.get("PROBE_LAYERS", "1"))
+    n_prompts = int(os.environ.get("PROBE_PROMPTS", "4"))
+    max_new = int(os.environ.get("PROBE_MAX_NEW", "256"))
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    cfg = resolve_config("llama-2-13b")
+    t0 = time.time()
+    qparams = fuse_params(
+        init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    )
+    jax.block_until_ready(qparams["embed"])
+    tp = scale_residual(qparams, alpha)
+    log(f"[eagle] init {time.time()-t0:.0f}s")
+
+    # ---- collect self-distillation data on TRAINING prompts -------------
+    from duodecoding_tpu.adaptive.eagle import (
+        collect_eagle_data,
+        init_eagle_params,
+        train_eagle,
+    )
+
+    rng_train = np.random.default_rng(123)
+    train_prompts = rng_train.integers(
+        1, cfg.vocab_size, (n_train, PROMPT_LEN)
+    )
+    t0 = time.time()
+    data = collect_eagle_data(tp, cfg, train_prompts, max_new=max_new)
+    log(f"[eagle] collect {time.time()-t0:.0f}s "
+        f"(pairs {data[0].shape})")
+
+    head = qparams["lm_head"]
+    embed = qparams["embed"]
+    eparams = init_eagle_params(
+        jax.random.PRNGKey(7), cfg, num_layers=e_layers, dtype=jnp.float32
+    )
+    t0 = time.time()
+    eparams, loss = train_eagle(
+        eparams, cfg, embed, head, *data, epochs=epochs, lr=1e-3
+    )
+    log(f"[eagle] train {time.time()-t0:.0f}s loss={loss:.4f}")
+
+    # static top-1 agreement on the training data (upper-bound indicator)
+    from duodecoding_tpu.adaptive.eagle import eagle_forward, init_eagle_cache
+
+    ph, pt, fl, tl, w = data
+    B, T = pt.shape
+    cache = init_eagle_cache(cfg, B, T, num_layers=e_layers, dtype=jnp.float32)
+
+    @jax.jit
+    def agree(ep, pt_, ph_, tl_, w_):
+        feats, _ = eagle_forward(
+            ep, cfg, embed, pt_, ph_.astype(jnp.float32), cache
+        )
+        pred = jnp.argmax(
+            feats.astype(jnp.float32) @ head.astype(jnp.float32), -1
+        )
+        return jnp.sum((pred == tl_) * w_) / jnp.maximum(jnp.sum(w_), 1)
+
+    a = float(agree(eparams, jnp.asarray(pt), jnp.asarray(ph),
+                    jnp.asarray(tl), jnp.asarray(w)))
+    log(f"[eagle] static top-1 agreement (train rollouts): {a:.3f}")
+
+    # ---- run eagle2_fused on the bench measurement prompts --------------
+    e_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, eparams,
+    )
+    dcfg, dp = truncate_model(cfg, tp, 3)  # unused tier (engine needs one)
+    eng = make_engine(cfg, tp, dcfg, dp, gamma=4, max_tokens=max_new,
+                      max_seq_len=640, int8_kv=True)
+    rng = np.random.default_rng(int(os.environ.get("BENCH_PROMPT_SEED", "0")))
+    prompts = rng.integers(1, cfg.vocab_size, (9, PROMPT_LEN))
+    kw = dict(eagle_params=e_bf16, depth=depth, top_k=top_k, n_nodes=n_nodes)
+
+    t0 = time.time()
+    eng.run("eagle2_fused", prompts[0][None, :], **kw)
+    log(f"[eagle] compile+warmup {time.time()-t0:.0f}s")
+    per = []
+    for i in range(1, 1 + n_prompts):
+        out, m = eng.run("eagle2_fused", prompts[i][None, :], **kw)
+        acc = m["draft_accepted_tokens"] / max(m["draft_generated_tokens"], 1)
+        per.append(
+            dict(
+                tps=m["generated_tokens"] / m["wall_time"],
+                accept=acc,
+                tok_per_iter=m["generated_tokens"] / max(m["loop_times"], 1),
+                ms_per_iter=1e3 * m["wall_time"] / max(m["loop_times"], 1),
+                iters=m["loop_times"],
+            )
+        )
+        log(f"[eagle] prompt {i}: {per[-1]}")
+    keep = [p for p in per if p["accept"] <= 0.95] or per
+    res = dict(
+        mode="eagle2_fused",
+        depth=depth,
+        top_k=top_k,
+        n_nodes=n_nodes,
+        e_layers=e_layers,
+        alpha=alpha,
+        distill_loss=loss,
+        static_agreement=a,
+        tps=float(np.mean([p["tps"] for p in keep])),
+        accept=float(np.mean([p["accept"] for p in keep])),
+        tok_per_iter=float(np.mean([p["tok_per_iter"] for p in keep])),
+        ms_per_iter=float(np.mean([p["ms_per_iter"] for p in keep])),
+        excluded=len(per) - len(keep),
+        per_prompt=per,
+    )
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
