@@ -514,6 +514,80 @@ def part_b_dssd(tiny):
     }
 
 
+def run_smoke():
+    """BENCH_SMOKE=1 — on-chip regression smoke (VERDICT r3 item 7).
+
+    Guards the chip path between full bench runs: (1) the INT4 stacked
+    kernel's fraction-of-roof at the 13B MLP shape, (2) a short sd_tree
+    generation at the RECORDED calibrated alpha, both asserted within
+    tolerance of the recorded BENCH_DETAILS.json numbers. Wall time is
+    dominated by the two remote compiles (~1-2 min kernel, ~5-10 min
+    sd_tree program — the persistent compile cache does not cover the
+    remote backend), so expect ~10 min, vs 18-25 for the full bench.
+    Exit code 1 on regression."""
+    from duodecoding_tpu.models import resolve_config
+    from duodecoding_tpu.models.quant import fuse_params
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, scale_residual, truncate_model,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAILS.json")) as f:
+        rec = json.load(f)["speedup_13b"]
+    tol = float(os.environ.get("BENCH_SMOKE_TOL", "0.15"))
+
+    cfg = resolve_config("llama-2-13b")
+    qparams = fuse_params(
+        init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    )
+    jax.block_until_ready(qparams["embed"])
+
+    checks = {}
+    ksol = int4_kernel_sol(cfg, tiny=False)
+    rec_sol = rec.get("int4_mlp_kernel_sol_frac")
+    checks["int4_kernel_sol_frac"] = {
+        "value": ksol["sol_frac"], "recorded": rec_sol,
+        "ok": bool(rec_sol and ksol["sol_frac"] >= rec_sol * (1 - tol)),
+    }
+    log(f"[smoke] int4 kernel {100*ksol['sol_frac']:.0f}% of roof "
+        f"(recorded {100*(rec_sol or 0):.0f}%)")
+
+    alpha = rec["alpha"]
+    tp = scale_residual(qparams, alpha)
+    dcfg, dp = truncate_model(cfg, tp, 3)
+    eng = make_engine(cfg, tp, dcfg, dp, gamma=7, max_tokens=128,
+                      max_seq_len=512, int8_kv=True)
+    spec = (2, 2, 1, 1, 1, 1, 1)
+    rng = np.random.default_rng(0)
+    prompts = rng.integers(1, cfg.vocab_size, (3, PROMPT_LEN))
+    t0 = time.time()
+    eng.run("sd_tree", prompts[0][None, :], tree_spec=spec)
+    log(f"[smoke] sd_tree compile+warmup {time.time()-t0:.0f}s")
+    tps, acc, _ = run_prompts(eng, "sd_tree", prompts[1:], tree_spec=spec)
+    # recorded per-prompt numbers are at max_new=256; the 128-token smoke
+    # pays the fixed cost over half the tokens, so compare against a
+    # fixed-cost-adjusted floor rather than the raw recorded tok/s
+    rec_tps = rec.get("sd_tps", 0.0)
+    floor = rec_tps * (1 - tol) / (1 + rec_tps * 0.1 / 128)
+    checks["sd_tree_tps"] = {
+        "value": tps, "accept": acc, "recorded": rec_tps,
+        "floor": floor, "ok": bool(tps >= floor),
+    }
+    log(f"[smoke] sd_tree {tps:.1f} tok/s accept={acc:.3f} "
+        f"(recorded {rec_tps:.1f}, floor {floor:.1f})")
+
+    ok = all(c["ok"] for c in checks.values())
+    print(json.dumps({
+        "metric": "on-chip smoke (int4 kernel roof + short sd_tree)",
+        "value": 1.0 if ok else 0.0,
+        "unit": "pass",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "checks": checks,
+    }))
+    if not ok:
+        sys.exit(1)
+
+
 def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
     # flash decode self-gates: the stacked kernel engages only for B>=2
@@ -533,6 +607,9 @@ def main():
         # CPU smoke variant (the sandbox force-registers the remote TPU
         # backend; only an explicit config update overrides it)
         jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("BENCH_SMOKE") == "1":
+        run_smoke()
+        return
     details = {"tiny": tiny}
 
     if os.environ.get("BENCH_SKIP_13B") != "1":

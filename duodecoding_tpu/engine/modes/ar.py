@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine.loops import ar_generate, prefill_plan_for
@@ -16,7 +17,7 @@ from duodecoding_tpu.engine.registry import register_mode
 
 
 def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, **kw):
-    from duodecoding_tpu.engine.engine import Stopwatch, block
+    from duodecoding_tpu.engine.engine import Stopwatch
 
     cfg = engine.config
     tokens, L = engine.token_buffer(prefix)
@@ -38,11 +39,14 @@ def _autoregressive(engine, prefix, tier, which: str, use_early_stopping=False, 
             eos_ids=eos,
             prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
-        block(out_tokens, n)
+        # ONE transfer = the timing barrier AND the host copy of every
+        # output: each separate fetch after the loop costs a ~27 ms
+        # round-trip on the remote backend (engine.block docstring)
+        out_tokens, n, steps = jax.device_get((out_tokens, n, steps))
 
     n = int(n)
     steps = int(steps)
-    out = np.asarray(out_tokens[:, :n])
+    out = out_tokens[:, :n]
 
     m = get_empty_metrics()
     m["generated_tokens"] = n - L

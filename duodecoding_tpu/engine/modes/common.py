@@ -57,7 +57,7 @@ def run_sd_loop(
     draft_sampling: SamplingConfig | None = None,
     use_early_stopping: bool = False,
 ) -> SDRun:
-    from duodecoding_tpu.engine.engine import Stopwatch, block
+    from duodecoding_tpu.engine.engine import Stopwatch
 
     cfg = engine.config
     draft, target = engine.draft, engine.target
@@ -89,10 +89,18 @@ def run_sd_loop(
             eos_ids=eos,
             prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
-        block(out_tokens, n)
+        # ONE transfer = the timing barrier AND the host copy of every
+        # output (tokens + all records): each separate post-loop fetch
+        # costs a ~27 ms round-trip on the remote backend, and this path
+        # paid ~10 of them per run before being fused
+        import jax
+
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            (out_tokens, n, records, iters, d_steps, t_steps)
+        )
 
     n, iters = int(n), int(iters)
-    out = np.asarray(out_tokens[:, :n])
+    out = out_tokens[:, :n]
     stopped_early = bool(eos) and any(int(t) in eos for t in out[0, L:])
     return SDRun(
         tokens=out,

@@ -73,7 +73,14 @@ def _head_matrix(target):
     p = target.params
     if target.cfg.tie_word_embeddings:
         return p["embed"].T
-    return p["lm_head"]
+    head = p["lm_head"]
+    if isinstance(head, dict):  # INT4 target: eagle scoring needs a dense
+        from duodecoding_tpu.models.quant import dequantize_int4
+
+        head = dequantize_int4(head, p["embed"].dtype)
+        if head.shape[-1] > target.cfg.vocab_size:  # tile-padded columns
+            head = head[:, : target.cfg.vocab_size]
+    return head
 
 
 def _eagle_core(

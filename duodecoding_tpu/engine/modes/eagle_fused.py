@@ -140,11 +140,13 @@ def eagle2_fused(
                 eos_ids=eos,
             )
         )
-        block(out_tokens, n)
+        # ONE transfer: timing barrier + host copy of tokens and records
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            (out_tokens, n, records, iters, d_steps, t_steps)
+        )
 
     n, iters = int(n), int(iters)
-    out = np.asarray(out_tokens[:, :n])
-    records = jax.device_get(records)
+    out = out_tokens[:, :n]
 
     from duodecoding_tpu.utils.debug import log_sd_alignment_replay
 

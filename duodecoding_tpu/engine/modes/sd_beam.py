@@ -78,11 +78,13 @@ def sd_beam(engine, prefix, beam_k: int = 8, beam_depth: int = 6,
             eos_ids=eos,
             prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
         )
-        block(out_tokens, n)
+        # ONE transfer: timing barrier + host copy of tokens and records
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            (out_tokens, n, records, iters, d_steps, t_steps)
+        )
 
     n, iters = int(n), int(iters)
-    out = np.asarray(out_tokens[:, :n])
-    records = jax.device_get(records)  # ONE host transfer for all records
+    out = out_tokens[:, :n]
 
     from duodecoding_tpu.utils.debug import log_sd_alignment_replay
 

@@ -146,16 +146,15 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
 
     with Stopwatch() as sw:
         # prefills run INSIDE the generate program (prefill_plan): one
-        # dispatch, specialised on the bucketed plan
-        out_tokens, n, records, iters, d_steps, t_steps = generate()
-        block(out_tokens, n)
+        # dispatch, specialised on the bucketed plan. ONE transfer = the
+        # timing barrier AND the host copy of tokens + records (each
+        # separate post-loop fetch costs a ~27 ms remote round-trip).
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            generate()
+        )
 
     n, iters = int(n), int(iters)
-    out = np.asarray(out_tokens[:, :n])
-    # ONE host transfer for all records: iterating a device array fetches
-    # per-element (~27 ms/element round-trips on the remote backend — this
-    # exact bug made the mode look 3x slower than it is)
-    records = jax.device_get(records)
+    out = out_tokens[:, :n]
 
     from duodecoding_tpu.utils.debug import log_sd_alignment_replay
 

@@ -74,11 +74,27 @@ def main():
         1, cfg.vocab_size, (n_train, PROMPT_LEN)
     )
     t0 = time.time()
-    data = collect_eagle_data(tp, cfg, train_prompts, max_new=max_new)
+    cache_path = f"/tmp/eagle_data_{alpha:.6g}_{n_train}_{max_new}.npz"
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        data = tuple(z[k] for k in ("ph", "pt", "fl", "tl", "w"))
+        log(f"[eagle] collect cache hit {cache_path}")
+    else:
+        data = collect_eagle_data(tp, cfg, train_prompts, max_new=max_new)
+        np.savez(cache_path, ph=data[0], pt=data[1], fl=data[2],
+                 tl=data[3], w=data[4])
     log(f"[eagle] collect {time.time()-t0:.0f}s "
         f"(pairs {data[0].shape})")
 
+    from duodecoding_tpu.models.quant import dequantize_int4, is_quantized
+
     head = qparams["lm_head"]
+    if is_quantized(head):
+        # eagle training/selection needs the dense unembedding (the INT4
+        # dict only feeds the fused matmul kernel); bf16 keeps it at 330 MB
+        head = dequantize_int4(head, jnp.bfloat16)
+        if head.shape[-1] > cfg.vocab_size:  # tile-padded columns
+            head = head[:, : cfg.vocab_size]
     embed = qparams["embed"]
     eparams = init_eagle_params(
         jax.random.PRNGKey(7), cfg, num_layers=e_layers, dtype=jnp.float32
