@@ -560,8 +560,12 @@ def train_eagle(
     opt_state = tx.init(eparams)
     B, T = pair_tokens.shape
 
+    # embed/head are ARGUMENTS, never closure constants: a jit capturing
+    # the 13B embedding/unembedding bakes ~660 MB of literals into the
+    # program — 30-60x slower compiles (CLAUDE.md compile-probe trap) and
+    # an outright remote-compile failure (HTTP 413 request-body limit).
     @jax.jit
-    def step(eparams, opt_state, ph, pt, fl, tl, w):
+    def step(eparams, opt_state, embed, head, ph, pt, fl, tl, w):
         def loss_fn(ep):
             cache = init_eagle_cache(
                 cfg, B, T, num_layers=ep["layers"]["wq"].shape[0],
@@ -587,5 +591,7 @@ def train_eagle(
     w = jnp.asarray(weight)
     loss = jnp.float32(0)
     for _ in range(epochs):
-        eparams, opt_state, loss = step(eparams, opt_state, ph, pt, fl, tl, w)
+        eparams, opt_state, loss = step(
+            eparams, opt_state, embed, head, ph, pt, fl, tl, w
+        )
     return eparams, float(loss)

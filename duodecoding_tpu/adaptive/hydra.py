@@ -106,8 +106,11 @@ def train_hydra_heads(
     opt_state = tx.init(heads)
     K = len(heads)
 
+    # embed is an ARGUMENT, not a closure constant: capturing a 13B-scale
+    # embedding bakes ~330 MB of literals into the program (30-60x slower
+    # compiles; outright remote-compile HTTP 413 failure)
     @jax.jit
-    def step(heads, opt_state, h, tw, y):
+    def step(heads, opt_state, embed, h, tw, y):
         emb = jnp.take(embed, tw, axis=0)  # [N, K+1, d]
 
         def loss_fn(hd):
@@ -136,7 +139,7 @@ def train_hydra_heads(
         for s in range(0, n, batch_size):
             idx = order[s : s + batch_size]
             heads, opt_state, loss = step(
-                heads, opt_state, jnp.asarray(hiddens[idx]),
+                heads, opt_state, embed, jnp.asarray(hiddens[idx]),
                 jnp.asarray(tok_windows[idx]), jnp.asarray(labels[idx]),
             )
     return heads, float(loss)

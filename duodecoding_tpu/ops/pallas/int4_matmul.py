@@ -292,6 +292,155 @@ def _int4_matmul_2d(
     )(x.astype(jnp.bfloat16), packed, scales, zeros)
 
 
+def _kernel_streamed(
+    l_ref,
+    x_ref,  # [TM, K] bf16 (VMEM block)
+    s_ref,  # [1, G, TN] f32 (VMEM block)
+    z_ref,  # [1, G, TN] f32
+    p_hbm,  # [L, K/2, N] uint8 — stays in HBM/ANY; streamed manually
+    o_ref,  # [TM, TN] f32
+    scratch,  # [2, gs, TN] u8 VMEM
+    sems,  # DMA sems (2,)
+    *,
+    group_size: int,
+    K: int,
+    tile_n: int,
+):
+    """Manually double-buffered weight streaming (VERDICT r3 #4: the
+    'emit-interleaved group loop').
+
+    The grid-pipelined kernels above hold a whole [K/2, TN] packed block
+    (plus Mosaic's unpack temporaries) in VMEM, which caps TN at 128 for
+    13B K and leaves the per-group [TM,gs]@[gs,TN=128] dots narrow. Here
+    the packed weights stay in HBM and each GROUP-PAIR chunk (the split-K
+    layout packs code rows r and r+K/2 into packed row r, so one chunk of
+    ``gs`` packed rows carries low-group c AND high-group c+G/2) is
+    DMA'd into a 2-slot scratch while the previous chunk unpacks + dots —
+    explicit DMA/compute overlap at chunk granularity, a small fixed VMEM
+    footprint, and TN up to 512 (4x wider MXU issues per dot).
+
+    The whole STACKED [L, K/2, N] array stays in ANY space and the
+    scalar-prefetched layer index addresses it inside the DMA — slicing
+    the layer outside the call would materialise a full per-layer copy in
+    HBM per call (the round-2 scan-slice trap)."""
+    j = pl.program_id(1)
+    half = K // 2
+    G = K // group_size
+    halfG = G // 2
+    n_chunks = half // group_size
+    TM = x_ref.shape[0]
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            p_hbm.at[
+                l_ref[0],
+                pl.ds(c * group_size, group_size),
+                pl.ds(j * tile_n, tile_n),
+            ],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    x = x_ref[:]
+    xs = jnp.sum(
+        x.astype(jnp.float32).reshape(TM, G, group_size), axis=-1
+    )  # [TM, G] rowsums for the zero-point fixup
+
+    def body(c, acc):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        blk = scratch[slot].astype(jnp.int32)  # [gs, TN]
+        lo = (blk & 0xF).astype(jnp.bfloat16)
+        hi = ((blk >> 4) & 0xF).astype(jnp.bfloat16)
+        x_lo = jax.lax.dynamic_slice(
+            x, (0, c * group_size), (TM, group_size)
+        )
+        x_hi = jax.lax.dynamic_slice(
+            x, (0, half + c * group_size), (TM, group_size)
+        )
+        s_lo = s_ref[0, c]  # [TN]
+        s_hi = s_ref[0, halfG + c]
+        z_lo = z_ref[0, c]
+        z_hi = z_ref[0, halfG + c]
+        acc = acc + jnp.dot(
+            x_lo, lo, preferred_element_type=jnp.float32
+        ) * s_lo[None, :]
+        acc = acc + jnp.dot(
+            x_hi, hi, preferred_element_type=jnp.float32
+        ) * s_hi[None, :]
+        acc = acc + xs[:, c, None] * z_lo[None, :]
+        acc = acc + xs[:, halfG + c, None] * z_hi[None, :]
+        return acc
+
+    o_ref[:] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((TM, tile_n), jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "tile_m", "tile_n", "interpret"),
+)
+def _int4_matmul_2d_streamed(
+    x: jax.Array,  # [M, K] bf16 (M divisible by tile_m)
+    packed: jax.Array,  # [L, K/2, N] uint8
+    scales: jax.Array,  # [L, G, N] f32
+    zeros: jax.Array,  # [L, G, N] f32
+    layer: jax.Array,  # scalar int32
+    group_size: int,
+    tile_m: int,
+    tile_n: int,
+    interpret: bool = False,
+):
+    M, K = x.shape
+    N = packed.shape[2]
+    n_groups = K // group_size
+    grid = (M // tile_m, N // tile_n)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _kernel_streamed, group_size=group_size, K=K, tile_n=tile_n
+    )
+    flops = 2 * M * K * N
+    bytes_accessed = K // 2 * N + 2 * 4 * n_groups * N + M * K * 2 + M * N * 4
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_m, K), lambda i, j, l: (i, 0)),
+                pl.BlockSpec((1, n_groups, tile_n), lambda i, j, l: (l[0], 0, j)),
+                pl.BlockSpec((1, n_groups, tile_n), lambda i, j, l: (l[0], 0, j)),
+                # packed weights stay whole in HBM; the kernel DMAs
+                # group-pair chunks itself, addressing the layer via the
+                # prefetched scalar (no slice materialisation)
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, l: (i, j)),
+            scratch_shapes=[
+                pltpu.VMEM((2, group_size, tile_n), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=12 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(lidx, x.astype(jnp.bfloat16), scales, zeros, packed)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "tile_m", "tile_n", "interpret", "chunk"),
@@ -350,6 +499,38 @@ def _int4_matmul_2d_stacked(
         ),
         interpret=interpret,
     )(lidx, x.astype(jnp.bfloat16), packed, scales, zeros)
+
+
+def _pick_tiles_streamed(m: int, n: int, k: int, group_size: int):
+    """(tile_m, tile_n) for the streamed kernel. Packed weights never
+    enter VMEM wholesale, so TN is capped only by the x/affine/out
+    blocks; prefer the widest TN (wider MXU issues per group dot) and a
+    single M tile (one weight stream)."""
+    env = os.environ.get("DUODEC_INT4_STREAM_TILE_N")
+    tn_cands = (int(env),) if env else (512, 256, 128)
+    budget = 11 * 1024 * 1024
+    G = k // group_size
+
+    for tn in tn_cands:
+        if n % tn:
+            continue
+
+        def fits(tm):
+            return (
+                4 * tm * k  # x block, double-buffered bf16
+                + 2 * 2 * 4 * G * tn  # scales+zeros blocks, double-buffered
+                + 2 * 4 * tm * tn  # out block
+                + 2 * group_size * tn  # chunk scratch
+            ) <= budget
+        mp = max(8, ((m + 7) // 8) * 8)
+        if fits(mp):
+            return mp, tn
+        tm = mp // 8 * 8
+        while tm > 8 and not fits(tm):
+            tm -= 8
+        if fits(tm):
+            return tm, tn
+    return 0, 0
 
 
 def _pick_tile_n(n: int, k: int) -> int:
@@ -457,6 +638,25 @@ def int4_matmul(
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    # streamed variant (stacked only): HBM-resident weights + manual
+    # double-buffered chunk DMA (see _kernel_streamed). Opt-in while the
+    # on-chip sweep is pending.
+    if (
+        stacked
+        and os.environ.get("DUODEC_INT4_STREAM") == "1"
+        and (K // 2) % gs == 0
+        and not interpret
+    ):
+        tm_s, tn_s = _pick_tiles_streamed(M, N, K, gs)
+        if tn_s:
+            Mp = ((M + tm_s - 1) // tm_s) * tm_s
+            xs2 = (
+                jnp.pad(x2, ((0, Mp - M), (0, 0))) if Mp != M else x2
+            )
+            out = _int4_matmul_2d_streamed(
+                xs2, packed, scales, zeros, layer, gs, tm_s, tn_s, False
+            )
+            return out[:M].reshape(*lead, N)
     tile_m = _pick_tile_m(M, K, tile_n, gs)
     Mp = ((M + tile_m - 1) // tile_m) * tile_m
     if Mp != M:

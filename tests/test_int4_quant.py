@@ -180,3 +180,34 @@ def test_int4_matmul_chunk_indivisible_falls_back(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_int4_matmul_streamed_matches_reference():
+    """Streamed kernel (HBM-resident weights + double-buffered group-pair
+    chunk DMA, DUODEC_INT4_STREAM): bit-level strategy differs from the
+    grid-pipelined kernels, outputs must match the reference impl."""
+    from duodecoding_tpu.models.quant import int4_matmul_reference
+    from duodecoding_tpu.ops.pallas.int4_matmul import (
+        _int4_matmul_2d_streamed,
+    )
+
+    L, K, N, gs = 3, 64, 256, 16
+    key = jax.random.PRNGKey(2)
+    packed = jax.random.randint(key, (L, K // 2, N), 0, 256, jnp.int32).astype(
+        jnp.uint8
+    )
+    scales = jax.random.uniform(key, (L, K // gs, N), jnp.float32, 0.01, 0.1)
+    zeros = -7.5 * scales
+    qs = {"packed": packed, "scales": scales, "zeros": zeros}
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, K), jnp.bfloat16)
+
+    for layer in range(L):
+        want = int4_matmul_reference(
+            x, {k: v[layer] for k, v in qs.items()}
+        )
+        got = _int4_matmul_2d_streamed(
+            x, packed, scales, zeros, jnp.int32(layer),
+            gs, 8, 128, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

@@ -113,16 +113,16 @@ def main():
     cache = init_eagle_cache(cfg, B, T, num_layers=e_layers, dtype=jnp.float32)
 
     @jax.jit
-    def agree(ep, pt_, ph_, tl_, w_):
+    def agree(ep, embed_, head_, pt_, ph_, tl_, w_):
         feats, _ = eagle_forward(
-            ep, cfg, embed, pt_, ph_.astype(jnp.float32), cache
+            ep, cfg, embed_, pt_, ph_.astype(jnp.float32), cache
         )
         pred = jnp.argmax(
-            feats.astype(jnp.float32) @ head.astype(jnp.float32), -1
+            feats.astype(jnp.float32) @ head_.astype(jnp.float32), -1
         )
         return jnp.sum((pred == tl_) * w_) / jnp.maximum(jnp.sum(w_), 1)
 
-    a = float(agree(eparams, jnp.asarray(pt), jnp.asarray(ph),
+    a = float(agree(eparams, embed, head, jnp.asarray(pt), jnp.asarray(ph),
                     jnp.asarray(tl), jnp.asarray(w)))
     log(f"[eagle] static top-1 agreement (train rollouts): {a:.3f}")
 
