@@ -348,40 +348,28 @@ def _kernel_streamed(
         x.astype(jnp.float32).reshape(TM, G, group_size), axis=-1
     )  # [TM, G] rowsums for the zero-point fixup
 
-    def body(c, acc):
+    # STATIC Python loop: Mosaic's TC lowering has no dynamic_slice, and
+    # the chunk count is a compile-time constant anyway
+    acc = jnp.zeros((TM, tile_n), jnp.float32)
+    for c in range(n_chunks):
         slot = c % 2
-
-        @pl.when(c + 1 < n_chunks)
-        def _():
+        if c + 1 < n_chunks:
             get_dma((c + 1) % 2, c + 1).start()
-
         get_dma(slot, c).wait()
         blk = scratch[slot].astype(jnp.int32)  # [gs, TN]
         lo = (blk & 0xF).astype(jnp.bfloat16)
         hi = ((blk >> 4) & 0xF).astype(jnp.bfloat16)
-        x_lo = jax.lax.dynamic_slice(
-            x, (0, c * group_size), (TM, group_size)
-        )
-        x_hi = jax.lax.dynamic_slice(
-            x, (0, half + c * group_size), (TM, group_size)
-        )
-        s_lo = s_ref[0, c]  # [TN]
-        s_hi = s_ref[0, halfG + c]
-        z_lo = z_ref[0, c]
-        z_hi = z_ref[0, halfG + c]
+        a, b = c * group_size, (c + 1) * group_size
         acc = acc + jnp.dot(
-            x_lo, lo, preferred_element_type=jnp.float32
-        ) * s_lo[None, :]
+            x[:, a:b], lo, preferred_element_type=jnp.float32
+        ) * s_ref[0, c][None, :]
         acc = acc + jnp.dot(
-            x_hi, hi, preferred_element_type=jnp.float32
-        ) * s_hi[None, :]
-        acc = acc + xs[:, c, None] * z_lo[None, :]
-        acc = acc + xs[:, halfG + c, None] * z_hi[None, :]
-        return acc
-
-    o_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((TM, tile_n), jnp.float32)
-    )
+            x[:, half + a : half + b], hi,
+            preferred_element_type=jnp.float32,
+        ) * s_ref[0, halfG + c][None, :]
+        acc = acc + xs[:, c, None] * z_ref[0, c][None, :]
+        acc = acc + xs[:, halfG + c, None] * z_ref[0, halfG + c][None, :]
+    o_ref[:] = acc
 
 
 @functools.partial(

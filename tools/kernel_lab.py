@@ -578,6 +578,49 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
 # ------------------------------------------------------------- harness
 
 
+def make_stream(tile_n=None):
+    """Production streamed kernel (ops/pallas/int4_matmul.py
+    _kernel_streamed): HBM-resident packed weights + double-buffered
+    group-pair chunk DMA; tile_n unlocked from the VMEM cap."""
+    from duodecoding_tpu.ops.pallas.int4_matmul import (
+        _int4_matmul_2d_streamed,
+        _pick_tiles_streamed,
+    )
+
+    def call(x, q, layer, gs):
+        import os
+
+        M, K = x.shape
+        N = q["packed"].shape[2]
+        if tile_n:
+            os.environ["DUODEC_INT4_STREAM_TILE_N"] = str(tile_n)
+        try:
+            tm, tn = _pick_tiles_streamed(M, N, K, gs)
+        finally:
+            os.environ.pop("DUODEC_INT4_STREAM_TILE_N", None)
+        if not tn:
+            raise ValueError(f"no streamed tiling for M={M} N={N}")
+        Mp = ((M + tm - 1) // tm) * tm
+        x2 = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
+        out = _int4_matmul_2d_streamed(
+            x2, q["packed"], q["scales"], q["zeros"],
+            jnp.asarray(layer, jnp.int32), gs, tm, tn,
+        )
+        return out[:M]
+
+    return call
+
+
+def make_prod():
+    """Production dispatcher default (grid-pipelined stacked kernel)."""
+    from duodecoding_tpu.ops.pallas.int4_matmul import int4_matmul
+
+    def call(x, q, layer, gs):
+        return int4_matmul(x, q, layer=jnp.asarray(layer, jnp.int32))
+
+    return call
+
+
 def stacked_per_rep(fn, x, qs, gs, label, outers=(16, 64), nw=8):
     def make(outer):
         @jax.jit
@@ -685,7 +728,11 @@ if __name__ == "__main__":
     if names:
         variants = {}
         for n in names:
-            if n.startswith("kgrid"):
+            if n == "prod":
+                variants[n] = make_prod()
+            elif n.startswith("stream"):
+                variants[n] = make_stream(int(n[6:]) if n[6:] else None)
+            elif n.startswith("kgrid"):
                 variants[n] = make_kgrid(int(n[5:] or 8))
             elif n.endswith("+par"):
                 variants[n] = make_stacked(n[:-4], parallel=True)

@@ -96,6 +96,29 @@ def main():
         if head.shape[-1] > cfg.vocab_size:  # tile-padded columns
             head = head[:, : cfg.vocab_size]
     embed = qparams["embed"]
+    ev = None
+    if os.environ.get("PROBE_EVAL_AGREE") == "1":
+        rng_e = np.random.default_rng(
+            int(os.environ.get("BENCH_PROMPT_SEED", "0"))
+        )
+        ev_prompts = rng_e.integers(1, cfg.vocab_size, (8, PROMPT_LEN))
+        ev_cache = f"/tmp/eagle_eval_{alpha:.6g}_{max_new}.npz"
+        if os.path.exists(ev_cache):
+            z = np.load(ev_cache)
+            ev = tuple(z[k] for k in ("ph", "pt", "fl", "tl", "w"))
+        else:
+            ev = collect_eagle_data(tp, cfg, ev_prompts, max_new=max_new)
+            np.savez(ev_cache, ph=ev[0], pt=ev[1], fl=ev[2], tl=ev[3],
+                     w=ev[4])
+
+    # free the 7 GB INT4 target during training (adam states + CE logits
+    # at 13B width OOM'd a 16 GB chip next to it); re-init after — the
+    # seed makes it bit-identical
+    del qparams, tp
+    import gc
+
+    gc.collect()
+
     eparams = init_eagle_params(
         jax.random.PRNGKey(7), cfg, num_layers=e_layers, dtype=jnp.float32
     )
@@ -126,11 +149,55 @@ def main():
                     jnp.asarray(tl), jnp.asarray(w)))
     log(f"[eagle] static top-1 agreement (train rollouts): {a:.3f}")
 
+    a_eval = None
+    if ev is not None:
+        # held-out agreement: rollouts from the EVAL prompt seed separate
+        # generalization failure (low here too) from a decode-path bug
+        # (high here, low decode accept). Batch dims differ from the
+        # train cache -> dedicated jit
+        ev_c = init_eagle_cache(
+            cfg, ev[0].shape[0], ev[0].shape[1], num_layers=e_layers,
+            dtype=jnp.float32,
+        )
+
+        @jax.jit
+        def agree_ev(ep, embed_, head_, pt_, ph_, tl_, w_):
+            feats, _ = eagle_forward(
+                ep, cfg, embed_, pt_, ph_.astype(jnp.float32), ev_c
+            )
+            pred = jnp.argmax(
+                feats.astype(jnp.float32) @ head_.astype(jnp.float32), -1
+            )
+            return jnp.sum((pred == tl_) * w_) / jnp.maximum(jnp.sum(w_), 1)
+
+        a_eval = float(
+            agree_ev(eparams, embed, head, jnp.asarray(ev[1]),
+                     jnp.asarray(ev[0]), jnp.asarray(ev[3]),
+                     jnp.asarray(ev[4]))
+        )
+        log(f"[eagle] static top-1 agreement (HELD-OUT rollouts): "
+            f"{a_eval:.3f}")
+
     # ---- run eagle2_fused on the bench measurement prompts --------------
     e_bf16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, eparams,
     )
+    if os.environ.get("PROBE_SKIP_RUN") == "1":
+        print(json.dumps(dict(
+            mode="eagle2_fused-agreement-only", alpha=alpha,
+            distill_loss=loss, static_agreement=a,
+            static_agreement_heldout=a_eval,
+        )))
+        return
+
+    del eparams, head, embed, agree
+    gc.collect()
+    # rebuild the calibrated target (same seed — bit-identical)
+    qparams = fuse_params(
+        init_random_quant_params(cfg, jax.random.PRNGKey(0), 128)
+    )
+    tp = scale_residual(qparams, alpha)
     dcfg, dp = truncate_model(cfg, tp, 3)  # unused tier (engine needs one)
     eng = make_engine(cfg, tp, dcfg, dp, gamma=4, max_tokens=max_new,
                       max_seq_len=640, int8_kv=True)
@@ -165,6 +232,7 @@ def main():
         alpha=alpha,
         distill_loss=loss,
         static_agreement=a,
+        static_agreement_heldout=a_eval,
         tps=float(np.mean([p["tps"] for p in keep])),
         accept=float(np.mean([p["accept"] for p in keep])),
         tok_per_iter=float(np.mean([p["tok_per_iter"] for p in keep])),
