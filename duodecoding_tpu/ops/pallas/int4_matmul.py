@@ -367,8 +367,12 @@ def _kernel_streamed(
             x[:, half + a : half + b], hi,
             preferred_element_type=jnp.float32,
         ) * s_ref[0, halfG + c][None, :]
-        acc = acc + xs[:, c, None] * z_ref[0, c][None, :]
-        acc = acc + xs[:, halfG + c, None] * z_ref[0, halfG + c][None, :]
+        # basic slicing (`c:c+1`), NOT `[:, c, None]` — the int+newaxis
+        # form lowers to a gather that Mosaic's TC rejects on-device
+        acc = acc + xs[:, c : c + 1] * z_ref[0, c][None, :]
+        acc = acc + (
+            xs[:, halfG + c : halfG + c + 1] * z_ref[0, halfG + c][None, :]
+        )
     o_ref[:] = acc
 
 
