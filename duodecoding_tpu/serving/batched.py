@@ -358,6 +358,73 @@ def batched_decode_multi_step(
     return token_buf, n_tokens, cache, key, finished, steps
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "target_cfg", "lanes"),
+    donate_argnames=("token_buf", "n_tokens", "d_cache", "t_cache"),
+)
+def admit_prefill_tree(
+    draft_params,
+    target_params,
+    token_buf: jax.Array,  # [B, S]
+    n_tokens: jax.Array,  # [B]
+    d_cache,  # [_, B*lanes, S, ...]
+    t_cache,  # [_, B, S, ...]
+    prompts: jax.Array,  # [B, Lp] int32 — row b valid iff admit[b]
+    plens: jax.Array,  # [B] int32 actual prompt lengths (<= Lp)
+    admit: jax.Array,  # [B] bool — slots being (re)initialized
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    lanes: int,
+):
+    """Fused admission: prefill newly-admitted slots DIRECTLY into the
+    batched target + draft-lane caches and update the token buffer, all
+    in ONE dispatch. The scheduler's original admit path (off-batch
+    prefill into a fresh single-slot cache + insert_slot copy + host
+    .at[] updates) costs ~8 separate dispatches per request; on remote
+    backends each dispatch carries ~85-100 ms of launch/completion
+    overhead (tools/fixed_cost_probe.py), which made ADMISSION — not the
+    decode loop — the dominant serving cost (the decode iteration itself
+    measures 39 ms additive, tools/serving_stage_probe.py).
+
+    Inactive (non-admitted) rows neither write KV nor advance their
+    lengths (models/transformer.py forward's ``active`` contract), so
+    occupied slots are untouched. Rows are right-padded to the static
+    bucket length Lp; KV written past ``plens`` is invisible (attention
+    clamps to ``length``) and gets overwritten as decode proceeds."""
+    B, S = token_buf.shape
+    Lp = prompts.shape[1]
+
+    t_cache = t_cache._replace(
+        length=jnp.where(admit, 0, t_cache.length)
+    )
+    _, t_cache = forward(
+        target_params, target_cfg, prompts, t_cache, active=admit
+    )
+    t_cache = t_cache._replace(
+        length=jnp.where(admit, plens - 1, t_cache.length)
+    )
+
+    lane_admit = jnp.repeat(admit, lanes)
+    d_cache = d_cache._replace(
+        length=jnp.where(lane_admit, 0, d_cache.length)
+    )
+    _, d_cache = forward(
+        draft_params, draft_cfg, jnp.repeat(prompts, lanes, axis=0),
+        d_cache, active=lane_admit,
+    )
+    d_cache = d_cache._replace(
+        length=jnp.where(lane_admit, jnp.repeat(plens, lanes) - 1,
+                         d_cache.length)
+    )
+
+    padded = jnp.zeros((B, S), jnp.int32).at[:, :Lp].set(prompts)
+    token_buf = jnp.where(admit[:, None], padded, token_buf)
+    n_tokens = jnp.where(admit, plens, n_tokens)
+    return token_buf, n_tokens, d_cache, t_cache
+
+
 def _spec_tree_core(
     draft_params,
     target_params,
@@ -423,6 +490,38 @@ def _spec_tree_core(
             target_cfg=target_cfg, spec=spec, eos_ids=eos_ids, probe=probe,
         )
 
+    chains, d_cache = _draft_tree(
+        draft_params, token_buf, p, d_cache, lane_active,
+        draft_cfg=draft_cfg, spec=spec, verify_vocab=verify_vocab,
+    )
+    return _tree_verify_commit(
+        target_params, token_buf, p, d_cache, t_cache, active, chains,
+        target_cfg=target_cfg, spec=spec, eos_ids=eos_ids, probe=probe,
+        verify_vocab=verify_vocab,
+    )
+
+
+def _draft_tree(
+    draft_params, token_buf, p, d_cache, lane_active, *,
+    draft_cfg, spec, verify_vocab,
+):
+    """Draft half of the batched tree iteration: lane catch-up forward +
+    fork-drafting the branch-spec tree on the lane axis. Split out so the
+    stage probe (tools/serving_stage_probe.py) times the same code object
+    the production step runs."""
+    import numpy as np
+
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+    from duodecoding_tpu.ops.sampling import top_k_via_argmax
+
+    B, S = token_buf.shape
+    gamma = len(spec)
+    lanes = int(np.prod(spec))
+    kmax = max(spec)
+    lay = spec_layout(spec)
+    rows = jnp.arange(B)
+    CU = gamma + 2
+
     # --- draft catch-up: rewind every slot's lanes to p-CU, forward CU ---
     lane_p = jnp.repeat(p, lanes)  # [B*lanes]
     d_cache = d_cache._replace(
@@ -461,11 +560,7 @@ def _spec_tree_core(
     )  # rest: [gamma-1, B*lanes]
     chains = jnp.concatenate([chain0[None], rest], axis=0)  # [gamma, B*lanes]
     chains = chains.reshape(gamma, B, lanes).transpose(1, 2, 0)  # [B, lanes, g]
-    return _tree_verify_commit(
-        target_params, token_buf, p, d_cache, t_cache, active, chains,
-        target_cfg=target_cfg, spec=spec, eos_ids=eos_ids, probe=probe,
-        verify_vocab=verify_vocab,
-    )
+    return chains, d_cache
 
 
 def _tree_verify_commit(

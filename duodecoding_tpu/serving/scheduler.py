@@ -149,8 +149,7 @@ class BatchedServer:
         self._steps += 1
         decoded = int(np.asarray(active).sum())
         self._decoded_tokens += decoded
-        fin = np.asarray(finished)
-        n_host = np.asarray(self.n_tokens)
+        fin, n_host = jax.device_get((finished, self.n_tokens))
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:
@@ -257,12 +256,12 @@ class SpecBatchedServer(BatchedServer):
             eos_ids=self.eos_ids,
         )
         self._steps += 1
-        em = np.asarray(emitted)
+        em, ac, fin, n_host, act = jax.device_get(
+            (emitted, accepted, finished, self.n_tokens, active)
+        )
         self._decoded_tokens += int(em.sum())
-        self.total_drafted += int(np.asarray(active).sum()) * self.gamma
-        self.total_accepted += int(np.asarray(accepted).sum())
-        fin = np.asarray(finished)
-        n_host = np.asarray(self.n_tokens)
+        self.total_drafted += int(act.sum()) * self.gamma
+        self.total_accepted += int(ac.sum())
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:
@@ -315,11 +314,10 @@ class MultiStepBatchedServer(BatchedServer):
             eos_ids=self.eos_ids,
             max_steps=self.steps_per_dispatch,
         )
-        n_host = np.asarray(self.n_tokens)
+        n_host, fin = jax.device_get((self.n_tokens, finished))
         decoded = int((n_host - before).sum())
         self._steps += int(steps)
         self._decoded_tokens += decoded
-        fin = np.asarray(finished)
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:
@@ -360,14 +358,21 @@ class SpecTreeBatchedServer(BatchedServer):
         self.total_accepted = 0
 
     def _admit(self) -> None:
-        from duodecoding_tpu.models.kv_quant import init_quant_cache
+        """Admit every waiting request with a free slot in ONE fused
+        device dispatch (serving/batched.py:admit_prefill_tree): prefill
+        straight into the batched caches with an admit mask — no
+        single-slot caches, no insert copies, no per-request host .at[]
+        updates. Prompt lengths are bucketed to multiples of 64 so the
+        admission program compiles once per bucket."""
+        from duodecoding_tpu.serving.batched import admit_prefill_tree
 
+        gamma = len(self.spec)
+        to_admit = []
         for slot in range(self.B):
             if self.slot_req[slot] is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
             L = len(req.prompt)
-            gamma = len(self.spec)
             n_rows = self.lanes * gamma + 2  # verify rows upper bound
             budget = self.S - req.max_new_tokens - n_rows
             if L > budget:
@@ -377,35 +382,41 @@ class SpecTreeBatchedServer(BatchedServer):
                 raise ValueError(
                     f"tree serving needs prompt_len >= gamma + 2, got {L}"
                 )
-            prompt = jnp.asarray(req.prompt, jnp.int32)[None, :]
-            t_single = (
-                init_quant_cache(self.cfg, 1, self.S)
-                if self.int8_kv
-                else init_cache(self.cfg, 1, self.S, self.dtype)
-            )
-            t_single = prefill(self.params, self.cfg, t_single, prompt)
-            # draft: prefill ALL lane rows of this slot at once
-            d_lanes = (
-                init_quant_cache(self.draft_cfg, self.lanes, self.S)
-                if self.draft_int8_kv
-                else init_cache(self.draft_cfg, self.lanes, self.S,
-                                self.draft_dtype)
-            )
-            d_lanes = prefill(
-                self.draft_params, self.draft_cfg, d_lanes,
-                jnp.broadcast_to(prompt, (self.lanes, L)),
-            )
-            self.cache = insert_slot(
-                self.cache, t_single, slot, jnp.int32(L - 1)
-            )
-            self.d_cache = insert_lane_block(
-                self.d_cache, d_lanes, slot * self.lanes, jnp.int32(L - 1)
-            )
-            self.token_buf = self.token_buf.at[slot, :L].set(prompt[0])
-            self.n_tokens = self.n_tokens.at[slot].set(L)
+            to_admit.append((slot, req, L))
+        if not to_admit:
+            return
+
+        Lp = min(
+            self.S,
+            ((max(L for _, _, L in to_admit) + 63) // 64) * 64,
+        )
+        prompts = np.zeros((self.B, Lp), np.int32)
+        plens = np.zeros((self.B,), np.int32)
+        admit = np.zeros((self.B,), bool)
+        for slot, req, L in to_admit:
+            prompts[slot, :L] = np.asarray(req.prompt[:L])
+            plens[slot] = L
+            admit[slot] = True
             self.active[slot] = True
-            req._slot, req._start, req._deadline = slot, L, L + req.max_new_tokens
+            req._slot, req._start = slot, L
+            req._deadline = L + req.max_new_tokens
             self.slot_req[slot] = req
+        (
+            self.token_buf, self.n_tokens, self.d_cache, self.cache,
+        ) = admit_prefill_tree(
+            self.draft_params,
+            self.params,
+            self.token_buf,
+            self.n_tokens,
+            self.d_cache,
+            self.cache,
+            jnp.asarray(prompts),
+            jnp.asarray(plens),
+            jnp.asarray(admit),
+            draft_cfg=self.draft_cfg,
+            target_cfg=self.cfg,
+            lanes=self.lanes,
+        )
 
     def step(self) -> int:
         from duodecoding_tpu.serving.batched import (
@@ -475,12 +486,14 @@ class SpecTreeBatchedServer(BatchedServer):
                 eos_ids=self.eos_ids,
             )
             self._steps += 1
-        em = np.asarray(emitted)
+        # one batched transfer — separate np.asarray() fetches cost a
+        # ~27 ms host round-trip EACH on the remote backend
+        em, dr, ac, fin, n_host = jax.device_get(
+            (emitted, drafted, accepted, finished, self.n_tokens)
+        )
         self._decoded_tokens += int(em.sum())
-        self.total_drafted += int(np.asarray(drafted).sum())
-        self.total_accepted += int(np.asarray(accepted).sum())
-        fin = np.asarray(finished)
-        n_host = np.asarray(self.n_tokens)
+        self.total_drafted += int(dr.sum())
+        self.total_accepted += int(ac.sum())
         for slot in range(self.B):
             req = self.slot_req[slot]
             if req is None:
