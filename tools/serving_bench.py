@@ -102,6 +102,20 @@ def main():
     except Exception:
         details = {}
     details["serving_13b"] = out
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        prov = details.setdefault("provenance", {})
+        prov["serving_13b"] = {
+            "commit": commit,
+            "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+    except Exception:
+        pass
     with open(path, "w") as f:
         json.dump(details, f, indent=2)
     print(json.dumps(out))
