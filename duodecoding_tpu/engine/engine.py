@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine import modes as _modes  # noqa: F401 — registers modes
-from duodecoding_tpu.engine.registry import get_decoding_mode
+from duodecoding_tpu.engine.registry import get_decoding_mode, get_suite_runner
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
 from duodecoding_tpu.models.transformer import init_cache
@@ -132,6 +132,38 @@ class Engine:
         """Run a decoding mode. Returns (token_ids [1, n], DecodingMetrics)."""
         fn = get_decoding_mode(mode)
         return fn(self, prefix, **kw)
+
+    def suite_buffer(self, prompts: np.ndarray) -> tuple[jax.Array, int]:
+        """[P, L] equal-length prompts -> ([P, 1, S] token buffers, L)."""
+        prompts = np.asarray(prompts)
+        P, L = prompts.shape
+        self.token_buffer(prompts[0][None, :])  # shared length checks
+        S = self.config.max_seq_len
+        buf = jnp.zeros((P, 1, S), jnp.int32)
+        return buf.at[:, 0, :L].set(jnp.asarray(prompts, jnp.int32)), L
+
+    def run_suite(self, mode: str, prompts: np.ndarray, **kw):
+        """Run ``mode`` over a stack of EQUAL-LENGTH prompts ``[P, L]``.
+
+        When the mode registers a suite runner (registry.register_suite)
+        the whole set runs as ONE device program (lax.scan over prompts)
+        — on the remote backend each dispatch carries an ~90 ms
+        launch/completion floor (tools/fixed_cost_probe.py), so a fused
+        suite pays it once instead of once per prompt. Other modes fall
+        back to sequential run(). Returns a list of (tokens, metrics) per
+        prompt; fused runs attribute the measured suite wall to prompts
+        by loop-iteration share (documented in each metrics dict)."""
+        prompts = np.asarray(prompts)
+        runner = get_suite_runner(mode)
+        if runner is not None and prompts.ndim == 2:
+            try:
+                return runner(self, prompts, **kw)
+            except NotImplementedError:
+                pass  # e.g. dynamic-width tree specs: sequential fallback
+        return [
+            self.run(mode, prompts[i][None, :], **kw)
+            for i in range(prompts.shape[0])
+        ]
 
 
 class Stopwatch:

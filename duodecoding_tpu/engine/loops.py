@@ -183,12 +183,7 @@ class ARState(NamedTuple):
     steps: jax.Array  # int32 — forward count
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_plan"),
-    donate_argnames=("tokens", "cache"),
-)
-def ar_generate(
+def _ar_generate_impl(
     params,
     *,
     cfg: ModelConfig,
@@ -201,14 +196,8 @@ def ar_generate(
     eos_ids: tuple[int, ...] = (),
     prefill_plan: tuple[int, ...] | None = None,
 ):
-    """Vanilla AR decode with KV cache (reference src/engine.py:549-608),
-    whole generation in one while_loop.
-
-    With ``prefill_plan`` (see prefill_plan_for) the prompt prefill runs
-    INSIDE this program (``cache`` comes in empty): each dispatch is a
-    ~27 ms RPC round trip on the remote backend, so fusing prefill+decode
-    into one dispatch is a direct per-run saving — and the program
-    specialises on the bucketed plan, not the exact prompt length."""
+    """Traceable core of ``ar_generate`` (also scanned by
+    ``ar_generate_suite``); returns (tokens, n_tokens, cache, steps)."""
     if prefill_plan is not None:
         cache = prefill_by_plan(params, cfg, cache, tokens, prefill_plan, n_tokens)
     limit = n_tokens + max_new_tokens
@@ -247,6 +236,80 @@ def ar_generate(
     )
     out = jax.lax.while_loop(cond, body, init)
     return out.tokens, out.n_tokens, out.cache, out.steps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_plan"),
+    donate_argnames=("tokens", "cache"),
+)
+def ar_generate(
+    params,
+    *,
+    cfg: ModelConfig,
+    tokens: jax.Array,
+    cache: KVCache,
+    n_tokens: jax.Array,
+    key: jax.Array,
+    sampling: SamplingConfig,
+    max_new_tokens: int,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """Vanilla AR decode with KV cache (reference src/engine.py:549-608),
+    whole generation in one while_loop.
+
+    With ``prefill_plan`` (see prefill_plan_for) the prompt prefill runs
+    INSIDE this program (``cache`` comes in empty): each dispatch is a
+    ~27 ms RPC round trip on the remote backend, so fusing prefill+decode
+    into one dispatch is a direct per-run saving — and the program
+    specialises on the bucketed plan, not the exact prompt length."""
+    return _ar_generate_impl(
+        params, cfg=cfg, tokens=tokens, cache=cache, n_tokens=n_tokens,
+        key=key, sampling=sampling, max_new_tokens=max_new_tokens,
+        eos_ids=eos_ids, prefill_plan=prefill_plan,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "sampling", "max_new_tokens", "eos_ids", "prefill_plan"),
+    donate_argnames=("prompts", "cache"),
+)
+def ar_generate_suite(
+    params,
+    *,
+    cfg: ModelConfig,
+    prompts: jax.Array,  # [P, 1, S] — equal-length prompts, right-padded
+    cache: KVCache,
+    n_tokens: jax.Array,  # scalar: shared prompt length
+    key: jax.Array,
+    sampling: SamplingConfig,
+    max_new_tokens: int,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """P independent single-prompt AR generations in ONE device program
+    (``lax.scan`` over prompts; the KV cache is length-reset and reused
+    between prompts, so stale KV is invisible — the engine's rollback
+    invariant). Each remote dispatch carries an ~90 ms launch/completion
+    floor (tools/fixed_cost_probe.py); running an evaluation suite as one
+    program pays it once instead of once per prompt. Returns
+    (tokens [P, 1, S], n_tokens [P], steps [P])."""
+
+    def step(carry, prompt):
+        cache, key = carry
+        key, sub = jax.random.split(key)
+        cache = set_cache_length(cache, 0)
+        toks, n, cache, steps = _ar_generate_impl(
+            params, cfg=cfg, tokens=prompt, cache=cache, n_tokens=n_tokens,
+            key=sub, sampling=sampling, max_new_tokens=max_new_tokens,
+            eos_ids=eos_ids, prefill_plan=prefill_plan,
+        )
+        return (cache, key), (toks, n, steps)
+
+    _, (toks, n, steps) = jax.lax.scan(step, (cache, key), prompts)
+    return toks, n, steps
 
 
 # --------------------------------------------------------------------------

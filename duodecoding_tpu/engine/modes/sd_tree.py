@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.modes.common import run_sd_loop  # noqa: F401 (doc xref)
-from duodecoding_tpu.engine.registry import register_mode
+from duodecoding_tpu.engine.registry import register_mode, register_suite
 from duodecoding_tpu.engine.loops import prefill_plan_for
-from duodecoding_tpu.engine.tree_loops import tree_generate
+from duodecoding_tpu.engine.tree_loops import tree_generate, tree_generate_suite
 
 
 def parse_spec(tree_spec) -> tuple[int, ...]:
@@ -183,3 +183,105 @@ def sd_tree(engine, prefix, tree_k: int = 2, tree_spec=None, tree_gap=None,
     ]
     m["wall_time"] = sw.elapsed + m["queuing_time"]
     return out, finalize_throughput(m)
+
+
+@register_suite("sd_tree", aliases=("duodec", "sd_kseq"))
+def sd_tree_suite(engine, prompts, tree_k: int = 2, tree_spec=None,
+                  posterior_threshold: float = 0.09,
+                  posterior_alpha: float = 0.3, **kw):
+    """Fused multi-prompt tree-SD evaluation: ONE device program for the
+    whole equal-length prompt set (tree_loops.py:tree_generate_suite;
+    static single spec only — dynamic-width specs fall back to run()).
+    Per-prompt wall is the measured suite wall attributed by
+    iteration share (every iteration runs the same catch-up + fork
+    drafting + one tree verify, so iterations are the unit of cost)."""
+    from duodecoding_tpu.engine.engine import Stopwatch
+
+    cfg = engine.config
+    if cfg.temperature != 0.0:
+        sampling = engine.sampling
+    else:
+        sampling = None
+    typical = (float(posterior_threshold), float(posterior_alpha))
+    draft, target = engine.draft, engine.target
+    prompts = np.asarray(prompts)
+    gamma = kw.get("gamma") or cfg.gamma
+    if tree_spec is not None:
+        specs = parse_specs(tree_spec)
+        if len(specs) != 1:
+            raise NotImplementedError(
+                "suite runner supports a single static tree_spec"
+            )
+        spec = specs[0]
+        gamma = len(spec)
+    else:
+        spec = (int(tree_k),) + (1,) * (gamma - 1)
+    lanes = int(np.prod(spec))
+    from duodecoding_tpu.engine.tree_loops import spec_layout
+
+    bufs, L = engine.suite_buffer(prompts)
+    n_rows = len(spec_layout(spec).offsets)
+    if L + cfg.max_tokens + n_rows > cfg.max_seq_len:
+        raise ValueError(
+            f"sd_tree spec {spec} verifies up to {n_rows} rows per "
+            f"iteration: prompt ({L}) + max_tokens ({cfg.max_tokens}) + "
+            f"{n_rows} exceeds max_seq_len ({cfg.max_seq_len})"
+        )
+    if L < gamma + 2:
+        raise ValueError(
+            f"sd_tree needs prompt_len >= gamma + 2 (catch-up rewind); "
+            f"got {L} < {gamma + 2}"
+        )
+    eos = cfg.eos_ids if kw.get("use_early_stopping") else ()
+
+    d_cache = engine.new_cache(draft, batch=lanes)
+    t_cache = engine.new_cache(target)
+
+    with Stopwatch() as sw:
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            tree_generate_suite(
+                draft.params,
+                target.params,
+                bufs,
+                jnp.int32(L),
+                d_cache,
+                t_cache,
+                draft_cfg=draft.cfg,
+                target_cfg=target.cfg,
+                spec=spec,
+                key=engine.next_key(),
+                sampling=sampling,
+                typical=typical,
+                max_new_tokens=cfg.max_tokens,
+                eos_ids=eos,
+                prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
+            )
+        )
+
+    total_iters = max(int(iters.sum()), 1)
+    results = []
+    for p in range(prompts.shape[0]):
+        np_, it = int(n[p]), int(iters[p])
+        rec = jax.tree.map(lambda a: a[p], records)
+        m = get_empty_metrics()
+        m["generated_tokens"] = np_ - L
+        m["draft_forward_times"] = int(d_steps[p])
+        m["target_forward_times"] = int(t_steps[p])
+        m["draft_generated_tokens"] = int(rec.actual_gamma[:it].sum())
+        m["draft_accepted_tokens"] = int(rec.accepted[:it].sum())
+        m["loop_times"] = it
+        if it:
+            m["each_loop_draft_tokens"] = float(rec.actual_gamma[:it].mean())
+            m["avg_draft_len"] = float(rec.actual_gamma[:it].mean())
+        m["queuing_time"] = int(t_steps[p]) * cfg.batch_delay
+        m["computation_time"] = sw.elapsed * it / total_iters
+        m["wall_time"] = m["computation_time"] + m["queuing_time"]
+        m["suite_wall_time"] = sw.elapsed
+        m["draft_entropy_history"] = [
+            float(x) for x in rec.draft_entropy[:it]
+        ]
+        m["draft_accept_rate_history"] = [
+            float(x) for x in rec.accept_rate[:it]
+        ]
+        results.append((out_tokens[p][:, :np_], finalize_throughput(m)))
+    return results

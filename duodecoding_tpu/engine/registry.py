@@ -35,3 +35,26 @@ def get_decoding_mode(name: str) -> Callable:
 
 def registered_modes() -> list[str]:
     return sorted(_MODES)
+
+
+# Suite runners: fused multi-prompt evaluation (one device program for a
+# whole equal-length prompt set — see loops.py:ar_generate_suite). Only
+# modes whose generation is a single device-resident program can offer
+# one; Engine.run_suite falls back to sequential run() otherwise.
+_SUITES: Dict[str, Callable] = {}
+
+
+def register_suite(name: str, aliases: tuple[str, ...] = ()):
+    def deco(fn: Callable) -> Callable:
+        for key in (name, *aliases):
+            if key in _SUITES:
+                raise ValueError(f"suite runner {key!r} registered twice")
+            _SUITES[key] = fn
+        return fn
+
+    return deco
+
+
+def get_suite_runner(name: str):
+    """Suite runner for ``name`` or None (caller falls back to run())."""
+    return _SUITES.get(name)

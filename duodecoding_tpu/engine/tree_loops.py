@@ -571,21 +571,7 @@ def tree_iteration(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "draft_cfg",
-        "target_cfg",
-        "spec",
-        "sampling",
-        "typical",
-        "max_new_tokens",
-        "eos_ids",
-        "prefill_plan",
-    ),
-    donate_argnums=(2, 4, 5),
-)
-def tree_generate(
+def _tree_generate_impl(
     draft_params,
     target_params,
     tokens: jax.Array,
@@ -603,16 +589,9 @@ def tree_generate(
     eos_ids: tuple[int, ...] = (),
     prefill_plan: tuple[int, ...] | None = None,
 ):
-    """Full branch-spec tree-SD generation on device (greedy argmax walk,
-    or sampled typical-acceptance when ``sampling`` has temperature > 0).
-
-    Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
-    With ``prefill_plan`` (loops.py::prefill_plan_for) both tiers' prompt
-    prefills run INSIDE this program (caches come in empty; the draft
-    prefill broadcasts the prompt over the lanes) — one dispatch per
-    generation instead of three, specialised on the bucketed plan rather
-    than the exact prompt length.
-    """
+    """Traceable core of ``tree_generate`` (also scanned by
+    ``tree_generate_suite``); additionally returns both caches so a suite
+    scan can carry them across prompts."""
     if prefill_plan is not None:
         from duodecoding_tpu.engine.loops import prefill_by_plan
 
@@ -671,7 +650,140 @@ def tree_generate(
         out.it,
         out.draft_steps,
         out.target_steps,
+        out.draft_cache,
+        out.target_cache,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "draft_cfg",
+        "target_cfg",
+        "spec",
+        "sampling",
+        "typical",
+        "max_new_tokens",
+        "eos_ids",
+        "prefill_plan",
+    ),
+    donate_argnums=(2, 4, 5),
+)
+def tree_generate(
+    draft_params,
+    target_params,
+    tokens: jax.Array,
+    n_tokens: jax.Array,
+    draft_cache,
+    target_cache,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    spec: tuple[int, ...],
+    key: jax.Array | None = None,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """Full branch-spec tree-SD generation on device (greedy argmax walk,
+    or sampled typical-acceptance when ``sampling`` has temperature > 0).
+
+    Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
+    With ``prefill_plan`` (loops.py::prefill_plan_for) both tiers' prompt
+    prefills run INSIDE this program (caches come in empty; the draft
+    prefill broadcasts the prompt over the lanes) — one dispatch per
+    generation instead of three, specialised on the bucketed plan rather
+    than the exact prompt length.
+    """
+    return _tree_generate_impl(
+        draft_params,
+        target_params,
+        tokens,
+        n_tokens,
+        draft_cache,
+        target_cache,
+        draft_cfg=draft_cfg,
+        target_cfg=target_cfg,
+        spec=spec,
+        key=key,
+        sampling=sampling,
+        typical=typical,
+        max_new_tokens=max_new_tokens,
+        eos_ids=eos_ids,
+        prefill_plan=prefill_plan,
+    )[:6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "draft_cfg",
+        "target_cfg",
+        "spec",
+        "sampling",
+        "typical",
+        "max_new_tokens",
+        "eos_ids",
+        "prefill_plan",
+    ),
+    donate_argnums=(2, 4, 5),
+)
+def tree_generate_suite(
+    draft_params,
+    target_params,
+    prompts: jax.Array,  # [P, 1, S] — equal-length prompts, right-padded
+    n_tokens: jax.Array,  # scalar: shared prompt length
+    draft_cache,
+    target_cache,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    spec: tuple[int, ...],
+    key: jax.Array | None = None,
+    sampling=None,
+    typical: tuple[float, float] = (0.09, 0.3),
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """P independent tree-SD generations in ONE device program
+    (``lax.scan`` over prompts; both tiers' caches are length-reset and
+    reused between prompts — stale KV is invisible, the engine's rollback
+    invariant). Amortizes the ~90 ms per-dispatch remote launch floor
+    (tools/fixed_cost_probe.py) across the whole evaluation suite.
+
+    Returns (tokens [P, 1, S], n_tokens [P], records stacked [P, ...],
+    n_iters [P], draft_steps [P], target_steps [P])."""
+
+    def step(carry, prompt):
+        d_cache, t_cache, key = carry
+        key, sub = jax.random.split(key)
+        d_cache = set_cache_length(d_cache, 0)
+        t_cache = set_cache_length(t_cache, 0)
+        toks, n, records, it, ds, ts, d_cache, t_cache = _tree_generate_impl(
+            draft_params,
+            target_params,
+            prompt,
+            n_tokens,
+            d_cache,
+            t_cache,
+            draft_cfg=draft_cfg,
+            target_cfg=target_cfg,
+            spec=spec,
+            key=sub,
+            sampling=sampling,
+            typical=typical,
+            max_new_tokens=max_new_tokens,
+            eos_ids=eos_ids,
+            prefill_plan=prefill_plan,
+        )
+        return (d_cache, t_cache, key), (toks, n, records, it, ds, ts)
+
+    init_key = key if key is not None else jax.random.PRNGKey(0)
+    _, outs = jax.lax.scan(step, (draft_cache, target_cache, init_key), prompts)
+    return outs
 
 
 @functools.partial(

@@ -261,3 +261,64 @@ def test_tree_sample_step_matches_reference_formula():
     thr = np.minimum(eps, alpha * np.exp(-h))
     want = p[parent_rows, node_tokens] > thr[parent_rows]
     np.testing.assert_array_equal(np.asarray(flags), want)
+
+
+def test_suite_runner_matches_sequential():
+    """Fused multi-prompt suite (engine.run_suite; one lax.scan program)
+    is token-identical to sequential per-prompt runs for both `large`
+    and `sd_tree`, with matching per-prompt accept accounting."""
+    rng = np.random.default_rng(5)
+    prompts = rng.integers(1, 250, size=(3, 7)).astype(np.int32)
+
+    eng = make_engine()
+    seq = [eng.run("large", prompts[i][None, :]) for i in range(3)]
+    suite = eng.run_suite("large", prompts)
+    assert len(suite) == 3
+    for (o_s, m_s), (o_q, m_q) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])
+        assert m_q["generated_tokens"] == m_s["generated_tokens"]
+        assert m_q["loop_times"] == m_s["loop_times"]
+        assert "suite_wall_time" in m_q
+
+    spec = (2, 2, 1)
+    seq = [
+        eng.run("sd_tree", prompts[i][None, :], tree_spec=spec)
+        for i in range(3)
+    ]
+    suite = eng.run_suite("sd_tree", prompts, tree_spec=spec)
+    for (o_s, m_s), (o_q, m_q) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])
+        assert m_q["draft_accepted_tokens"] == m_s["draft_accepted_tokens"]
+        assert m_q["draft_generated_tokens"] == m_s["draft_generated_tokens"]
+        assert m_q["loop_times"] == m_s["loop_times"]
+
+
+def test_suite_runner_int8_kv_matches_sequential():
+    eng = make_engine(int8_kv=True)
+    rng = np.random.default_rng(9)
+    prompts = rng.integers(1, 250, size=(2, 7)).astype(np.int32)
+    seq = [
+        eng.run("sd_tree", prompts[i][None, :], tree_spec=(2, 1, 1))
+        for i in range(2)
+    ]
+    suite = eng.run_suite("sd_tree", prompts, tree_spec=(2, 1, 1))
+    for (o_s, _), (o_q, _) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])
+
+
+def test_suite_fallback_modes_run_sequentially():
+    """Modes without a suite runner (and dynamic-width tree specs) fall
+    back to per-prompt run() with identical outputs."""
+    eng = make_engine()
+    rng = np.random.default_rng(11)
+    prompts = rng.integers(1, 250, size=(2, 7)).astype(np.int32)
+    # chain sd has no suite runner
+    suite = eng.run_suite("sd", prompts)
+    seq = [eng.run("sd", prompts[i][None, :]) for i in range(2)]
+    for (o_s, _), (o_q, _) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])
+    # dynamic-width tree spec: suite runner raises NotImplementedError
+    # internally; run_suite silently falls back
+    dyn = eng.run_suite("sd_tree", prompts, tree_spec="2,1,1;1,1,1",
+                        tree_gap=0.5)
+    assert len(dyn) == 2
