@@ -109,10 +109,23 @@ def calibrate_on_measurement(measure, *, iters=8, tol=0.04, tag="",
 DEGENERATE_ACCEPT = 0.95
 
 
-def run_prompts(engine, mode, prompts, **kw):
-    """Run ``mode`` over each prompt; returns (tok/s, accept, per-prompt
-    dict with the spread — the round-2 headline was noisy at exactly the
-    pass/fail margin because accept varied 0.65-0.76 over 3 prompts).
+def run_prompts(engine, mode, prompts, warm=None, seq=False, **kw):
+    """Run ``mode`` over the prompt set; returns (tok/s, accept,
+    per-prompt dict with the spread — the round-2 headline was noisy at
+    exactly the pass/fail margin because accept varied 0.65-0.76 over 3
+    prompts).
+
+    SUITE-FUSED (round 5, VERDICT r4 item 1): modes with a registered
+    suite runner (`large`, `sd_tree`) run the WHOLE equal-length prompt
+    set as ONE device program (Engine.run_suite), paying the ~90-100 ms
+    remote launch/completion floor once instead of once per prompt —
+    the floor hit the short SD runs ~2.3x harder than the long AR runs
+    and structurally depressed the speedup ratio. Per-prompt walls are
+    the measured suite wall attributed by loop-iteration share, so they
+    sum to the suite wall and the aggregation below is unchanged.
+    ``seq=True`` forces the old sequential per-run path (the fixed-cost
+    diagnostic, BENCH_SEQ_DIAG); ``warm`` is a single prompt row used to
+    compile the measured program shape untimed before measuring.
 
     DEGENERATE prompts (accept > 0.95) are excluded from the aggregates:
     random-weight models occasionally collapse a random prompt into a
@@ -121,15 +134,35 @@ def run_prompts(engine, mode, prompts, **kw):
     at ~0.5) — a synthetic artifact, not decoding skill. They stay listed
     in the spread (flagged) so nothing is hidden; AR throughput is
     sequence-independent either way."""
+    from duodecoding_tpu.engine.registry import get_suite_runner
+
+    fused_path = get_suite_runner(mode) is not None and not seq
+    if warm is not None:
+        if fused_path:
+            # compile the SUITE program shape (P prompts) untimed; for a
+            # dynamic-spec fallback inside run_suite this degenerates to
+            # P sequential warmups (opt-in BENCH_DYN_SPECS only)
+            wp = np.broadcast_to(np.asarray(warm), prompts.shape)
+            engine.run_suite(mode, np.array(wp), **kw)
+        else:
+            engine.run(mode, np.asarray(warm)[None, :], **kw)
+    if seq:
+        results = [
+            engine.run(mode, prompts[i][None, :], **kw)
+            for i in range(prompts.shape[0])
+        ]
+    else:
+        results = engine.run_suite(mode, prompts, **kw)
     per = []
-    for i in range(prompts.shape[0]):
-        out, m = engine.run(mode, prompts[i][None, :], **kw)
+    suite_wall = None
+    for out, m in results:
         acc = (
             m["draft_accepted_tokens"] / m["draft_generated_tokens"]
             if m["draft_generated_tokens"]
             else None
         )
         per.append((m["generated_tokens"], m["wall_time"], acc))
+        suite_wall = m.get("suite_wall_time", suite_wall)
     is_sd = any(a is not None for _, _, a in per)
     keep = [
         (t, w, a) for t, w, a in per
@@ -152,7 +185,10 @@ def run_prompts(engine, mode, prompts, **kw):
         ],
         "accept_sd": round(float(np.std(accepts)), 3) if accepts else 0.0,
         "degenerate_excluded": len(per) - len(keep),
+        "fused": suite_wall is not None,
     }
+    if suite_wall is not None:
+        spread["suite_wall_time"] = round(suite_wall, 3)
     return (
         toks / max(wall, 1e-9),
         (float(np.mean(accepts)) if accepts else 0.0),
@@ -267,15 +303,22 @@ def part_a_13b(tiny):
     rng = np.random.default_rng(int(os.environ.get("BENCH_PROMPT_SEED", "0")))
     prompts = rng.integers(1, cfg.vocab_size, (n_prompts + 1, plen))
 
-    def measure_sd(alpha, g=gamma, mode="sd", **mode_kw):
+    seq_diag = os.environ.get("BENCH_SEQ_DIAG") == "1"
+
+    def measure_sd(alpha, g=gamma, mode="sd", seq=False, **mode_kw):
         tp = scale_residual(qparams, alpha)
         dcfg, dp = truncate_model(cfg, tp, k_draft)
         eng = make_engine(cfg, tp, dcfg, dp, gamma=g, max_tokens=max_new,
                           max_seq_len=S, int8_kv=int8_kv)
-        eng.run(mode, prompts[0][None, :], **mode_kw)  # warmup (compiles cached)
-        tps, acc, spread = run_prompts(eng, mode, prompts[1:], **mode_kw)
-        return {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
-                "mode": mode, "spread": spread, **mode_kw}
+        # warm=prompts[0] compiles the measured (suite) program untimed
+        tps, acc, spread = run_prompts(
+            eng, mode, prompts[1:], warm=prompts[0], seq=seq, **mode_kw
+        )
+        res = {"alpha": alpha, "tps": tps, "accept": acc, "gamma": g,
+               "mode": mode, "spread": spread, **mode_kw}
+        if seq:
+            res["seq"] = True
+        return res
 
     # warm bracket around the known-good region for seed 0 (alpha* ~5.2e-4
     # measured round 3 on the degeneracy-filtered 8-prompt set);
@@ -301,12 +344,20 @@ def part_a_13b(tiny):
     eng = make_engine(cfg, tp, dcfg, dp, gamma=gamma, max_tokens=max_new,
                       max_seq_len=S, int8_kv=int8_kv)
     t0 = time.time()
-    eng.run("large", prompts[0][None, :])  # warmup/compile
-    log(f"[bench] A: AR warmup {time.time()-t0:.1f}s")
-    ar_tps, _, ar_spread = run_prompts(eng, "large", prompts[1:])
-    log(f"[bench] A: AR {ar_tps:.2f} tok/s")
+    ar_tps, _, ar_spread = run_prompts(
+        eng, "large", prompts[1:], warm=prompts[0]
+    )
+    log(f"[bench] A: AR {ar_tps:.2f} tok/s (warm+run {time.time()-t0:.1f}s)")
     results["ar_tps"] = ar_tps
     results["ar_spread"] = ar_spread
+    if seq_diag:
+        # fixed-cost diagnostic: the old per-prompt sequential path next
+        # to the fused suite number (one extra remote compile)
+        seq_tps, _, seq_spread = run_prompts(
+            eng, "large", prompts[1:], warm=prompts[0], seq=True
+        )
+        results["ar_seq_diag"] = {"tps": seq_tps, "spread": seq_spread}
+        log(f"[bench] A: AR sequential diagnostic {seq_tps:.2f} tok/s")
 
     # speed-of-light accounting for the AR decode step (weights-bound)
     prof = Profiler()
@@ -377,6 +428,15 @@ def part_a_13b(tiny):
         )
         log(f"[bench] A: sd_tree dynamic [{dyn}] gap={gap}: "
             f"{runs[-1]['tps']:.2f} tok/s accept={runs[-1]['accept']:.3f}")
+    if seq_diag and not tiny:
+        tree_runs = [r for r in runs if r["mode"] == "sd_tree"
+                     and not r.get("seq")]
+        if tree_runs:
+            bt = max(tree_runs, key=lambda r: r["tps"])
+            runs.append(measure_sd(alpha, g=bt["gamma"], mode="sd_tree",
+                                   seq=True, tree_spec=bt["tree_spec"]))
+            log(f"[bench] A: sd_tree sequential diagnostic "
+                f"spec={bt['tree_spec']}: {runs[-1]['tps']:.2f} tok/s")
     if not tiny and os.environ.get("BENCH_GAMMA_SWEEP") == "1":
         for g in (8,):
             runs.append(measure_sd(alpha, g=g))
@@ -409,7 +469,7 @@ def part_a_13b(tiny):
             f"{results['hetero_tps']:.2f} tok/s "
             f"accept={results['hetero_accept']:.3f}")
 
-    top = max(runs, key=lambda r: r["tps"])
+    top = max((r for r in runs if not r.get("seq")), key=lambda r: r["tps"])
     results["sd_tps"] = top["tps"]
     results["sd_gamma"] = top["gamma"]
     results["sd_accept"] = top["accept"]
@@ -561,9 +621,10 @@ def run_smoke():
     rng = np.random.default_rng(0)
     prompts = rng.integers(1, cfg.vocab_size, (3, PROMPT_LEN))
     t0 = time.time()
-    eng.run("sd_tree", prompts[0][None, :], tree_spec=spec)
-    log(f"[smoke] sd_tree compile+warmup {time.time()-t0:.0f}s")
-    tps, acc, _ = run_prompts(eng, "sd_tree", prompts[1:], tree_spec=spec)
+    tps, acc, _ = run_prompts(
+        eng, "sd_tree", prompts[1:], warm=prompts[0], tree_spec=spec
+    )
+    log(f"[smoke] sd_tree warm+run {time.time()-t0:.0f}s")
     # recorded per-prompt numbers are at max_new=256; the 128-token smoke
     # pays the fixed cost over half the tokens, so compare against a
     # fixed-cost-adjusted floor rather than the raw recorded tok/s
@@ -658,7 +719,9 @@ def main():
             "metric": (
                 "13B-class SD speedup vs own AR on 1 chip "
                 f"(llama-2-13b arch INT4+INT8KV, accept-matched "
-                f"{TARGET_ACCEPT}, {a['sd_mode']} gamma={a['sd_gamma']}; "
+                f"{TARGET_ACCEPT}, suite-fused prompt-set runs (one "
+                f"device program per mode), {a['sd_mode']} "
+                f"gamma={a['sd_gamma']}; "
                 f"AR {a['ar_tps']:.1f} tok/s at "
                 f"{100*a['ar_sol_frac']:.0f}% of HBM roof, "
                 f"SD {a['sd_tps']:.1f} tok/s; goal >= {SPEEDUP_GOAL}x)"

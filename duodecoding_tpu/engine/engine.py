@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from duodecoding_tpu.engine import modes as _modes  # noqa: F401 — registers modes
-from duodecoding_tpu.engine.registry import get_decoding_mode, get_suite_runner
+from duodecoding_tpu.engine.registry import (
+    SuiteFallback,
+    get_decoding_mode,
+    get_suite_runner,
+)
 from duodecoding_tpu.engine.sampling_config import SamplingConfig
 from duodecoding_tpu.models.config import ModelConfig
 from duodecoding_tpu.models.transformer import init_cache
@@ -152,13 +156,19 @@ class Engine:
         suite pays it once instead of once per prompt. Other modes fall
         back to sequential run(). Returns a list of (tokens, metrics) per
         prompt; fused runs attribute the measured suite wall to prompts
-        by loop-iteration share (documented in each metrics dict)."""
+        by loop-iteration share (documented in each metrics dict).
+
+        RNG-stream note: fused runners split ONE engine key across the
+        prompt scan, while sequential run() draws ``next_key()`` per run
+        — at temperature>0 the two paths sample different streams, so
+        suite-vs-sequential parity is contractual only for GREEDY
+        decoding (what the losslessness tests pin)."""
         prompts = np.asarray(prompts)
         runner = get_suite_runner(mode)
         if runner is not None and prompts.ndim == 2:
             try:
                 return runner(self, prompts, **kw)
-            except NotImplementedError:
+            except SuiteFallback:
                 pass  # e.g. dynamic-width tree specs: sequential fallback
         return [
             self.run(mode, prompts[i][None, :], **kw)

@@ -631,22 +631,7 @@ def init_sd_records(max_iters: int) -> SDRecords:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "draft_cfg",
-        "target_cfg",
-        "gamma",
-        "draft_sampling",
-        "target_sampling",
-        "rebuild_top_k",
-        "max_new_tokens",
-        "eos_ids",
-        "prefill_plan",
-    ),
-    donate_argnums=(2, 4, 5),
-)
-def sd_generate(
+def _sd_generate_impl(
     draft_params,
     target_params,
     tokens: jax.Array,
@@ -665,15 +650,9 @@ def sd_generate(
     eos_ids: tuple[int, ...] = (),
     prefill_plan: tuple[int, ...] | None = None,
 ):
-    """Full speculative-decoding generation on device.
-
-    Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
-    With ``prefill_plan`` both tiers' prompt prefills run INSIDE this
-    program (caches come in empty) — one dispatch per generation instead
-    of three (each is a ~27 ms RPC round trip on the remote backend) —
-    and the program specialises on the bucketed plan, not the exact
-    prompt length (prefill_plan_for).
-    """
+    """Unjitted SD generation body; also returns the final caches so the
+    suite runner (``sd_generate_suite``) can thread them through a scan
+    over prompts."""
     if prefill_plan is not None:
         draft_cache = prefill_by_plan(
             draft_params, draft_cfg, draft_cache, tokens, prefill_plan,
@@ -724,4 +703,115 @@ def sd_generate(
         out.it,
         out.draft_steps,
         out.target_steps,
+        out.draft_cache,
+        out.target_cache,
     )
+
+
+_SD_STATIC = (
+    "draft_cfg",
+    "target_cfg",
+    "gamma",
+    "draft_sampling",
+    "target_sampling",
+    "rebuild_top_k",
+    "max_new_tokens",
+    "eos_ids",
+    "prefill_plan",
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=_SD_STATIC, donate_argnums=(2, 4, 5)
+)
+def sd_generate(
+    draft_params,
+    target_params,
+    tokens: jax.Array,
+    n_tokens: jax.Array,
+    draft_cache: KVCache,
+    target_cache: KVCache,
+    key: jax.Array,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    gamma: int,
+    draft_sampling: SamplingConfig,
+    target_sampling: SamplingConfig,
+    rebuild_top_k: int | None = None,
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """Full speculative-decoding generation on device.
+
+    Returns (tokens, n_tokens, records, n_iters, draft_steps, target_steps).
+    With ``prefill_plan`` both tiers' prompt prefills run INSIDE this
+    program (caches come in empty) — one dispatch per generation instead
+    of three (each is a ~27 ms RPC round trip on the remote backend) —
+    and the program specialises on the bucketed plan, not the exact
+    prompt length (prefill_plan_for).
+    """
+    return _sd_generate_impl(
+        draft_params, target_params, tokens, n_tokens, draft_cache,
+        target_cache, key, draft_cfg=draft_cfg, target_cfg=target_cfg,
+        gamma=gamma, draft_sampling=draft_sampling,
+        target_sampling=target_sampling, rebuild_top_k=rebuild_top_k,
+        max_new_tokens=max_new_tokens, eos_ids=eos_ids,
+        prefill_plan=prefill_plan,
+    )[:6]
+
+
+@functools.partial(
+    jax.jit, static_argnames=_SD_STATIC, donate_argnums=(2, 4, 5)
+)
+def sd_generate_suite(
+    draft_params,
+    target_params,
+    prompts: jax.Array,  # [P, 1, S] — equal-length prompts, right-padded
+    n_tokens: jax.Array,  # scalar: shared prompt length
+    draft_cache: KVCache,
+    target_cache: KVCache,
+    key: jax.Array,
+    *,
+    draft_cfg: ModelConfig,
+    target_cfg: ModelConfig,
+    gamma: int,
+    draft_sampling: SamplingConfig,
+    target_sampling: SamplingConfig,
+    rebuild_top_k: int | None = None,
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    prefill_plan: tuple[int, ...] | None = None,
+):
+    """P independent chain-SD generations in ONE device program
+    (``lax.scan`` over prompts; both tiers' caches are length-reset and
+    reused between prompts — stale KV is invisible, the engine's rollback
+    invariant). Amortizes the ~90 ms per-dispatch remote launch floor
+    across an evaluation suite, same as ``ar_generate_suite`` /
+    ``tree_generate_suite``.
+
+    RNG: per-prompt keys split from ``key`` inside the scan — a different
+    stream than sequential runs drawing engine.next_key() per prompt, so
+    suite-vs-sequential parity is greedy-only (see Engine.run_suite).
+
+    Returns (tokens [P, 1, S], n_tokens [P], records stacked [P, ...],
+    n_iters [P], draft_steps [P], target_steps [P])."""
+
+    def step(carry, prompt):
+        d_cache, t_cache, key = carry
+        key, sub = jax.random.split(key)
+        d_cache = set_cache_length(d_cache, 0)
+        t_cache = set_cache_length(t_cache, 0)
+        toks, n, records, it, ds, ts, d_cache, t_cache = _sd_generate_impl(
+            draft_params, target_params, prompt, n_tokens, d_cache,
+            t_cache, sub, draft_cfg=draft_cfg, target_cfg=target_cfg,
+            gamma=gamma, draft_sampling=draft_sampling,
+            target_sampling=target_sampling, rebuild_top_k=rebuild_top_k,
+            max_new_tokens=max_new_tokens, eos_ids=eos_ids,
+            prefill_plan=prefill_plan,
+        )
+        return (d_cache, t_cache, key), (toks, n, records, it, ds, ts)
+
+    _, ys = jax.lax.scan(step, (draft_cache, target_cache, key), prompts)
+    return ys

@@ -15,7 +15,7 @@ from duodecoding_tpu.engine.modes.common import (
     make_comm_simulator,
     run_sd_loop,
 )
-from duodecoding_tpu.engine.registry import register_mode
+from duodecoding_tpu.engine.registry import register_mode, register_suite
 
 
 def _base_sd_metrics(engine, run):
@@ -59,6 +59,92 @@ def speculative_decoding(engine, prefix, use_early_stopping=False, **kw):
     m = _base_sd_metrics(engine, run)
     m["wall_time"] = run.elapsed + m["queuing_time"]
     return run.tokens, finalize_throughput(m)
+
+
+@register_suite("sd")
+def sd_suite(engine, prompts, use_early_stopping=False, **kw):
+    """Fused multi-prompt chain-SD evaluation: ONE device program for the
+    whole equal-length prompt set (loops.py:sd_generate_suite) — same
+    launch-floor amortization as the `large`/`sd_tree` suite runners.
+    Per-prompt wall is the measured suite wall attributed by iteration
+    share (every iteration runs gamma draft forwards + one verify, so
+    iterations are the unit of cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from duodecoding_tpu.engine.engine import Stopwatch
+    from duodecoding_tpu.engine.loops import (
+        prefill_plan_for,
+        sd_generate_suite,
+    )
+    from duodecoding_tpu.utils.debug import log_sd_alignment_replay
+
+    cfg = engine.config
+    draft, target = engine.draft, engine.target
+    rebuild_top_k = kw.get("transfer_top_k") or None
+    gamma = kw.get("gamma") or cfg.gamma
+    bufs, L = engine.suite_buffer(prompts)
+    eos = cfg.eos_ids if use_early_stopping else ()
+    d_cache = engine.new_cache(draft)
+    t_cache = engine.new_cache(target)
+
+    with Stopwatch() as sw:
+        out_tokens, n, records, iters, d_steps, t_steps = jax.device_get(
+            sd_generate_suite(
+                draft.params,
+                target.params,
+                bufs,
+                jnp.int32(L),
+                d_cache,
+                t_cache,
+                engine.next_key(),
+                draft_cfg=draft.cfg,
+                target_cfg=target.cfg,
+                gamma=gamma,
+                draft_sampling=engine.sampling,
+                target_sampling=engine.sampling,
+                rebuild_top_k=rebuild_top_k,
+                max_new_tokens=cfg.max_tokens,
+                eos_ids=eos,
+                prefill_plan=prefill_plan_for(L, cap=cfg.max_seq_len),
+            )
+        )
+
+    import numpy as np
+
+    total_iters = max(int(iters.sum()), 1)
+    results = []
+    for p in range(prompts.shape[0]):
+        np_, it = int(n[p]), int(iters[p])
+        rec = jax.tree.map(lambda a: a[p], records)
+        log_sd_alignment_replay(
+            "sd", L, np_, rec.actual_gamma, rec.accepted, rec.emitted,
+            it, gamma=gamma, max_len=cfg.max_seq_len,
+        )
+        m = get_empty_metrics()
+        m["generated_tokens"] = np_ - L
+        m["draft_forward_times"] = int(d_steps[p])
+        m["target_forward_times"] = int(t_steps[p])
+        m["draft_generated_tokens"] = int(rec.actual_gamma[:it].sum())
+        m["draft_accepted_tokens"] = int(rec.accepted[:it].sum())
+        m["loop_times"] = it
+        if it:
+            m["each_loop_draft_tokens"] = float(
+                rec.actual_gamma[:it].mean()
+            )
+            m["avg_draft_len"] = float(rec.actual_gamma[:it].mean())
+        m["queuing_time"] = int(t_steps[p]) * cfg.batch_delay
+        m["computation_time"] = sw.elapsed * it / total_iters
+        m["wall_time"] = m["computation_time"] + m["queuing_time"]
+        m["suite_wall_time"] = sw.elapsed
+        m["draft_entropy_history"] = [
+            float(x) for x in rec.draft_entropy[:it]
+        ]
+        m["draft_accept_rate_history"] = [
+            float(x) for x in rec.accept_rate[:it]
+        ]
+        results.append((out_tokens[p][:, :np_], finalize_throughput(m)))
+    return results
 
 
 @register_mode("speculative_decoding_with_bandwidth", aliases=("sd_bandwidth",))

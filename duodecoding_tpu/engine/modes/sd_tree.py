@@ -20,7 +20,11 @@ import jax.numpy as jnp
 
 from duodecoding_tpu.engine.metrics import finalize_throughput, get_empty_metrics
 from duodecoding_tpu.engine.modes.common import run_sd_loop  # noqa: F401 (doc xref)
-from duodecoding_tpu.engine.registry import register_mode, register_suite
+from duodecoding_tpu.engine.registry import (
+    SuiteFallback,
+    register_mode,
+    register_suite,
+)
 from duodecoding_tpu.engine.loops import prefill_plan_for
 from duodecoding_tpu.engine.tree_loops import tree_generate, tree_generate_suite
 
@@ -209,7 +213,7 @@ def sd_tree_suite(engine, prompts, tree_k: int = 2, tree_spec=None,
     if tree_spec is not None:
         specs = parse_specs(tree_spec)
         if len(specs) != 1:
-            raise NotImplementedError(
+            raise SuiteFallback(
                 "suite runner supports a single static tree_spec"
             )
         spec = specs[0]

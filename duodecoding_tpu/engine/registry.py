@@ -44,6 +44,15 @@ def registered_modes() -> list[str]:
 _SUITES: Dict[str, Callable] = {}
 
 
+class SuiteFallback(NotImplementedError):
+    """Raised by a suite runner to request the sequential-run() fallback
+    for an option combination it intentionally does not fuse (e.g.
+    dynamic-width tree specs). ``Engine.run_suite`` catches ONLY this —
+    any other ``NotImplementedError`` escaping a runner is a real bug and
+    must propagate (round-4 advisor finding: a blanket catch silently
+    degraded fused runs to sequential, hiding the perf loss)."""
+
+
 def register_suite(name: str, aliases: tuple[str, ...] = ()):
     def deco(fn: Callable) -> Callable:
         for key in (name, *aliases):

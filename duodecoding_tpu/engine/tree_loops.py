@@ -754,6 +754,12 @@ def tree_generate_suite(
     invariant). Amortizes the ~90 ms per-dispatch remote launch floor
     (tools/fixed_cost_probe.py) across the whole evaluation suite.
 
+    RNG: per-prompt keys come from splitting ``key`` inside the scan —
+    a DIFFERENT stream than sequential runs drawing engine.next_key()
+    per prompt, so suite-vs-sequential output parity holds for greedy
+    decoding only (sampling=None); at temperature>0 both are valid
+    samples but not bitwise-comparable.
+
     Returns (tokens [P, 1, S], n_tokens [P], records stacked [P, ...],
     n_iters [P], draft_steps [P], target_steps [P])."""
 

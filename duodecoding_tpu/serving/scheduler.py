@@ -364,8 +364,6 @@ class SpecTreeBatchedServer(BatchedServer):
         single-slot caches, no insert copies, no per-request host .at[]
         updates. Prompt lengths are bucketed to multiples of 64 so the
         admission program compiles once per bucket."""
-        from duodecoding_tpu.serving.batched import admit_prefill_tree
-
         gamma = len(self.spec)
         to_admit = []
         for slot in range(self.B):
@@ -397,13 +395,28 @@ class SpecTreeBatchedServer(BatchedServer):
             prompts[slot, :L] = np.asarray(req.prompt[:L])
             plens[slot] = L
             admit[slot] = True
+        # host-side slot bookkeeping is applied only AFTER the fused device
+        # call returns: if it raises (e.g. transient remote-backend
+        # failure), the wave is re-queued intact instead of leaving slots
+        # marked active with no prefilled cache (round-4 advisor finding)
+        try:
+            (
+                self.token_buf, self.n_tokens, self.d_cache, self.cache,
+            ) = self._admit_device(prompts, plens, admit)
+        except Exception:
+            for _, req, _ in reversed(to_admit):
+                self.queue.insert(0, req)
+            raise
+        for slot, req, L in to_admit:
             self.active[slot] = True
             req._slot, req._start = slot, L
             req._deadline = L + req.max_new_tokens
             self.slot_req[slot] = req
-        (
-            self.token_buf, self.n_tokens, self.d_cache, self.cache,
-        ) = admit_prefill_tree(
+
+    def _admit_device(self, prompts, plens, admit):
+        from duodecoding_tpu.serving.batched import admit_prefill_tree
+
+        return admit_prefill_tree(
             self.draft_params,
             self.params,
             self.token_buf,

@@ -312,13 +312,42 @@ def test_suite_fallback_modes_run_sequentially():
     eng = make_engine()
     rng = np.random.default_rng(11)
     prompts = rng.integers(1, 250, size=(2, 7)).astype(np.int32)
-    # chain sd has no suite runner
-    suite = eng.run_suite("sd", prompts)
-    seq = [eng.run("sd", prompts[i][None, :]) for i in range(2)]
-    for (o_s, _), (o_q, _) in zip(seq, suite):
+    # `small` (draft-tier AR) has no suite runner: sequential fallback
+    suite = eng.run_suite("small", prompts)
+    seq = [eng.run("small", prompts[i][None, :]) for i in range(2)]
+    for (o_s, m_s), (o_q, m_q) in zip(seq, suite):
         np.testing.assert_array_equal(o_q[0], o_s[0])
-    # dynamic-width tree spec: suite runner raises NotImplementedError
+        assert "suite_wall_time" not in m_q
+    # dynamic-width tree spec: suite runner raises SuiteFallback
     # internally; run_suite silently falls back
     dyn = eng.run_suite("sd_tree", prompts, tree_spec="2,1,1;1,1,1",
                         tree_gap=0.5)
     assert len(dyn) == 2
+
+
+def test_sd_suite_runner_matches_sequential():
+    """Round-5: fused chain-SD suite (loops.py:sd_generate_suite) is
+    token-identical to sequential `sd` runs at greedy, with matching
+    accept accounting and the fused suite_wall_time marker."""
+    eng = make_engine()
+    rng = np.random.default_rng(13)
+    prompts = rng.integers(1, 250, size=(3, 7)).astype(np.int32)
+    seq = [eng.run("sd", prompts[i][None, :]) for i in range(3)]
+    suite = eng.run_suite("sd", prompts)
+    assert len(suite) == 3
+    for (o_s, m_s), (o_q, m_q) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])
+        assert m_q["draft_accepted_tokens"] == m_s["draft_accepted_tokens"]
+        assert m_q["draft_generated_tokens"] == m_s["draft_generated_tokens"]
+        assert m_q["loop_times"] == m_s["loop_times"]
+        assert "suite_wall_time" in m_q
+
+
+def test_sd_suite_runner_int8_kv_matches_sequential():
+    eng = make_engine(int8_kv=True)
+    rng = np.random.default_rng(17)
+    prompts = rng.integers(1, 250, size=(2, 7)).astype(np.int32)
+    seq = [eng.run("sd", prompts[i][None, :]) for i in range(2)]
+    suite = eng.run_suite("sd", prompts)
+    for (o_s, _), (o_q, _) in zip(seq, suite):
+        np.testing.assert_array_equal(o_q[0], o_s[0])

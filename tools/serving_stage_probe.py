@@ -130,7 +130,7 @@ def main():
         tb2, n2, dc, tc, e, a, d, f = _tree_verify_commit(
             tp, perturb(tb, i), n0, dc, tc, active,
             (chains0 + i) % vv,
-            target_cfg=cfg, spec=SPEC, eos_ids=(),
+            target_cfg=cfg, spec=SPEC, eos_ids=(), verify_vocab=vv,
         )
         return reset_d(dc), reset_t(tc), jnp.max(n2).astype(jnp.float32)
 
