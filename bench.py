@@ -533,7 +533,8 @@ def part_b_dssd(tiny):
                           max_seq_len=S, int8_kv=int8_kv, comm=True)
         eng.run("dist_split_spec", prompts[0][None, :], transfer_top_k=1024)
         toks = 0
-        wall = comm = 0.0
+        wall = comm = data = 0.0
+        connects = tgt_fwd = iters = rejects = 0
         accepts = []
         for i in range(n_prompts):
             out, m = eng.run(
@@ -543,6 +544,13 @@ def part_b_dssd(tiny):
             toks += m["generated_tokens"]
             wall += m["wall_time"]
             comm += m["communication_time"]
+            data += m["edge_cloud_data_bytes"]
+            connects += m["connect_times"]["edge_cloud"]
+            tgt_fwd += m["target_forward_times"]
+            iters += m["loop_times"]
+            rejects += sum(
+                1 for r in m["draft_accept_rate_history"] if r < 1.0
+            )
             accepts.append(
                 m["draft_accepted_tokens"]
                 / max(m["draft_generated_tokens"], 1)
@@ -553,6 +561,12 @@ def part_b_dssd(tiny):
             "accept": float(np.mean(accepts)),
             "comm_time": comm,
             "wall_time": wall,
+            "tokens": toks,
+            "data_bytes": data,
+            "transfers": connects,
+            "target_forwards": tgt_fwd,
+            "iters": iters,
+            "reject_iters": rejects,
         }
 
     # tol matches part A's contract (a 0.04-tol early exit landed round 3
@@ -566,11 +580,78 @@ def part_b_dssd(tiny):
     log(f"[bench] B: dssd {best['tps']:.2f} tok/s at accept "
         f"{best['accept']:.3f} (comm {best['comm_time']:.1f}s of "
         f"{best['wall_time']:.1f}s) vs reference {DSSD_BASELINE_TPS}")
+
+    # --- comm-schedule reconciliation vs the reference's own row ---
+    # (VERDICT r4 item 3.) Reference row (experiment_results_table.md:7):
+    # 20,480 tokens, comm 318.24 s, queuing 319.70 s, wall 1200.03 s,
+    # edge-cloud data 7,827,776 B, 6,394 target forwards. Decomposition:
+    # 7.8 MB at 23.6 Mbps is only ~2.5 s — the row's comm time is
+    # NTT-DOMINATED (~31.8k transfers x 10 ms = ~318 s; ~5 transfers per
+    # iteration, matching the 5-call protocol in src/baselines.py:632-718).
+    # Its data column (382 B/token) therefore EXCLUDES the reject-path
+    # full-vocab P(x) downlink its own protocol documents
+    # (docs/baselines.md:48, src/baselines.py:694-695): at V=151936 x 2 B
+    # that path alone would be ~1.2 GB =~ 410 s of transfer time,
+    # exceeding the row's whole comm budget. Our row implements the
+    # documented protocol faithfully (full row on reject, modes/dssd.py),
+    # which is exactly the flagged ~3x per-token divergence. The row also
+    # carried 50 ms/target-forward of batch_delay queuing our runs set
+    # to 0. `ref_like_tps` applies the reference row's EMPIRICAL
+    # accounting to our measured run — reject-row bytes excluded from
+    # transfer time, 50 ms/forward queuing added — for a like-for-like
+    # comparison at nominal bandwidth.
+    ntt_s = 0.010  # make_engine ntt_ms_edge_cloud=10
+    prob_bytes = 2
+    bw_bytes = 23.6 * (1024 * 1024 / 8)  # nominal Mbps -> B/s
+    ntt_time = best["transfers"] * ntt_s
+    reject_row_bytes = best["reject_iters"] * cfg.vocab_size * prob_bytes
+    compute_time = best["wall_time"] - best["comm_time"]
+    uplink_bytes_time = max(
+        best["data_bytes"] - reject_row_bytes, 0
+    ) / bw_bytes
+    ref_like_wall = (
+        compute_time + ntt_time + uplink_bytes_time
+        + 0.05 * best["target_forwards"]
+    )
+    toks = max(best["tokens"], 1)
+    recon = {
+        "bytes_per_token": best["data_bytes"] / toks,
+        "transfers_per_iter": best["transfers"] / max(best["iters"], 1),
+        "reject_iters": best["reject_iters"],
+        "iters": best["iters"],
+        "comm_ntt_time_s": ntt_time,
+        "comm_bytes_time_s": best["comm_time"] - ntt_time,
+        "reject_row_bytes": reject_row_bytes,
+        "ref_row": {
+            "bytes_per_token": 7827776 / 20480,
+            "comm_s": 318.24,
+            "queuing_s": 319.70,
+            "implied_transfers": 318.24 / ntt_s,
+            "transfers_per_iter": (318.24 / ntt_s) / 6394,
+            "batch_delay_s": 319.70 / 6394,
+        },
+        "ref_like_tps": toks / ref_like_wall,
+        "ref_like_vs_reference": (toks / ref_like_wall) / DSSD_BASELINE_TPS,
+        "note": (
+            "our row transfers the documented reject-path full-vocab row "
+            "(docs/baselines.md:48); the reference ROW's data column "
+            "excludes it (382 B/token, NTT-dominated comm) and carries "
+            "50 ms/forward queuing — ref_like_tps applies that empirical "
+            "accounting to our measured run"
+        ),
+    }
+    log(f"[bench] B: recon bytes/tok {recon['bytes_per_token']:.0f} "
+        f"(ref row {recon['ref_row']['bytes_per_token']:.0f}), "
+        f"transfers/iter {recon['transfers_per_iter']:.2f} "
+        f"(ref {recon['ref_row']['transfers_per_iter']:.2f}), "
+        f"ref-like {recon['ref_like_tps']:.2f} tok/s "
+        f"({recon['ref_like_vs_reference']:.3f}x ref)")
     return {
         "dssd_tps": best["tps"],
         "dssd_accept": best["accept"],
         "dssd_vs_reference": best["tps"] / DSSD_BASELINE_TPS,
         "alpha": best["alpha"],
+        "reconciliation": recon,
     }
 
 
