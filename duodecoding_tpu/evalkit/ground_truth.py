@@ -288,9 +288,22 @@ def task_metric_parity(
     ``variants``: name -> (engine, mode, mode_kwargs). Token ids are
     rendered as whitespace-separated decimal strings (the sandbox has no
     tokenizer), which the ``####``/last-number extraction consumes like
-    any other completion text. Returns per-variant
-    ``task_metric_agreement`` (extracted-answer match rate vs HF) and
-    ``prefix_consistency`` (token identity)."""
+    any other completion text.
+
+    All outputs are compared over the SAME horizon (exactly
+    ``max_new_tokens`` new tokens): tree/beam/staged modes may legally
+    overshoot ``max_tokens`` by part of an accepted window, and the
+    last-number extraction is horizon-sensitive, so unequal lengths
+    would register as false metric disagreements.
+
+    Returns per-variant ``task_metric_agreement`` (extracted-answer
+    match rate vs HF), ``prefix_consistency`` (token identity vs HF),
+    and ``lossless_vs_own_ar`` (exact token identity vs the SAME
+    engine's `large` output — the in-framework greedy-losslessness
+    contract). For quantized engines (INT8 KV target) the HF columns
+    measure quantization fidelity against the fp32 gold, while
+    ``lossless_vs_own_ar`` isolates the decoding stack: 1.0 there means
+    any HF divergence is the bit-width, not speculation."""
     from duodecoding_tpu.orchestrate.consistency import prefix_consistency
 
     def render(ids) -> str:
@@ -300,8 +313,8 @@ def task_metric_parity(
     for p in prompts:
         p64 = np.asarray(p, np.int64)
         hf_out = hf_greedy_generate(hf_model, p64[None, :], max_new_tokens)
-        tail = hf_out[0][len(p):]
-        hf_texts.append(render(hf_out[0]))
+        tail = hf_out[0][len(p):][:max_new_tokens]
+        hf_texts.append(render(np.concatenate([p64, tail])))
         golds.append(extract_pred_answer(render(tail)))
 
     report = {
@@ -310,20 +323,37 @@ def task_metric_parity(
         "max_new_tokens": max_new_tokens,
         "variants": {},
     }
+    ar_cache: dict = {}
+
+    def own_ar_tail(engine, p) -> np.ndarray:
+        key = (id(engine), p.tobytes())
+        if key not in ar_cache:
+            out, _ = engine.run("large", np.asarray(p, np.int32)[None, :])
+            ar_cache[key] = np.asarray(out)[0][len(p):][:max_new_tokens]
+        return ar_cache[key]
+
     for name, (engine, mode, kw) in variants.items():
         preds, texts = [], []
+        lossless = 0
         for p in prompts:
             out, _ = engine.run(
                 mode, np.asarray(p, np.int32)[None, :], **kw
             )
             ids = np.asarray(out)[0]
-            texts.append(render(ids))
-            preds.append(extract_pred_answer(render(ids[len(p):])))
+            tail = ids[len(p):][:max_new_tokens]
+            texts.append(render(np.concatenate([ids[: len(p)], tail])))
+            preds.append(extract_pred_answer(render(tail)))
+            ar_tail = own_ar_tail(engine, p)
+            n = min(len(tail), len(ar_tail))
+            lossless += int(
+                n > 0 and np.array_equal(tail[:n], ar_tail[:n])
+            )
         agree = sum(
             1 for g, q in zip(golds, preds) if g is not None and g == q
         ) / max(len(prompts), 1)
         report["variants"][name] = {
             "task_metric_agreement": agree,
             "prefix_consistency": prefix_consistency(texts, hf_texts),
+            "lossless_vs_own_ar": lossless / max(len(prompts), 1),
         }
     return report
