@@ -499,15 +499,20 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
             x = jnp.pad(x, ((0, Mp - M), (0, 0)))
         lidx = jnp.asarray(layer, jnp.int32).reshape(1)
 
-        def kernel(l_ref, x_ref, p_ref, s_ref, z_ref, o_ref):
+        def kernel(l_ref, x_ref, p_ref, sl_ref, sh_ref, zl_ref, zh_ref,
+                   o_ref):
             del l_ref
             k = pl.program_id(2)
             TMk = x_ref.shape[0]
             p = p_ref[0]  # [R, tn]
             lo = _u_i32(p, 0)
             hi = _u_i32(p, 1)
-            sl = s_ref[0, pl.ds(k * cg, cg), :]  # [cg, tn]
-            sh = s_ref[0, pl.ds(g_half + k * cg, cg), :]
+            # [cg, tn] — blocked by the k index map; the affine arrays
+            # ride as [L, G, 1, N] so the cg block dim is NOT minor-2
+            # (Mosaic requires minor-2 block dims divisible by 8, and
+            # G=108 at the 13B w_down shape has no 8-multiple divisor)
+            sl = sl_ref[0, :, 0, :]
+            sh = sh_ref[0, :, 0, :]
             srl = jnp.broadcast_to(sl[:, None, :], (cg, gs, tn)).reshape(R, tn)
             srh = jnp.broadcast_to(sh[:, None, :], (cg, gs, tn)).reshape(R, tn)
             lo = lo * srl.astype(jnp.bfloat16)
@@ -523,8 +528,8 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
             xgh = jnp.sum(
                 xh.astype(jnp.float32).reshape(TMk, cg, gs), axis=-1
             ).astype(jnp.bfloat16)
-            zl = z_ref[0, pl.ds(k * cg, cg), :].astype(jnp.bfloat16)
-            zh = z_ref[0, pl.ds(g_half + k * cg, cg), :].astype(jnp.bfloat16)
+            zl = zl_ref[0, :, 0, :].astype(jnp.bfloat16)
+            zh = zh_ref[0, :, 0, :].astype(jnp.bfloat16)
             part = part + jnp.dot(xgl, zl, preferred_element_type=jnp.float32)
             part = part + jnp.dot(xgh, zh, preferred_element_type=jnp.float32)
 
@@ -537,6 +542,12 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
                 o_ref[:] = o_ref[:] + part
 
         grid = (Mp // TM, N // tn, nk_)
+        affine_lo = pl.BlockSpec(
+            (1, cg, 1, tn), lambda i, j, k, l: (l[0], k, 0, j)
+        )
+        affine_hi = pl.BlockSpec(
+            (1, cg, 1, tn), lambda i, j, k, l: (l[0], nk_ + k, 0, j)
+        )
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -545,12 +556,10 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
                 in_specs=[
                     pl.BlockSpec((TM, K), lambda i, j, k, l: (i, 0)),
                     pl.BlockSpec((1, R, tn), lambda i, j, k, l: (l[0], k, j)),
-                    pl.BlockSpec(
-                        (1, n_groups, tn), lambda i, j, k, l: (l[0], 0, j)
-                    ),
-                    pl.BlockSpec(
-                        (1, n_groups, tn), lambda i, j, k, l: (l[0], 0, j)
-                    ),
+                    affine_lo,
+                    affine_hi,
+                    affine_lo,
+                    affine_hi,
                 ],
                 out_specs=pl.BlockSpec((TM, tn), lambda i, j, k, l: (i, j)),
             ),
@@ -563,7 +572,154 @@ def make_kgrid(nk: int = 4, tile_n: int | None = None):
                 bytes_accessed=K // 2 * N + 8 * n_groups * N + Mp * K * 2,
                 transcendentals=0,
             ),
-        )(lidx, x.astype(jnp.bfloat16), packed, scales, zeros)
+            interpret=jax.default_backend() != "tpu",
+        )(lidx, x.astype(jnp.bfloat16), packed,
+          scales[:, :, None, :], scales[:, :, None, :],
+          zeros[:, :, None, :], zeros[:, :, None, :])
+        return out[:M]
+
+    def call(x, q, layer, gs):
+        K = x.shape[-1]
+        N = q["packed"].shape[2]
+        tn = tile_n or _pick_tile_n(N, K)
+        return run(x, q["packed"], q["scales"], q["zeros"], layer, gs, tn, nk)
+
+    return call
+
+
+def make_epipe(nk: int = 6, tile_n: int | None = None):
+    """emit_pipeline variant (VERDICT r4 item 2 candidate b): outer 2D
+    PARALLEL grid (M, N tiles) with packed weights HBM-resident
+    (memory_space=ANY); inside the kernel a Mosaic-managed inner pipeline
+    (pltpu.emit_pipeline, grid=(nk,)) double-buffers R-row packed chunks
+    into VMEM while the MXU consumes the previous chunk; partials
+    accumulate in a VMEM scratch and the out block is written once.
+    Affine rows ride as full-G VMEM blocks shaped [1, G, 1, tn] so the
+    in-body chunk slice lands on an UNTILED dim (Mosaic rejects dynamic
+    sublane slices not provably 8-aligned).
+
+    MEASURED (round 5, w_down shape K=13824 N=5120, M=8/40/88): 22.4 /
+    21.2 / 22.8 % of roof — IDENTICAL to the arbitrary-dim kgrid
+    (23.8/21.8/23.3) and to kgrid9/epipe9. Together with round 4's
+    manual-DMA streamed kernel (DMA-latency-bound) this closes VERDICT
+    r4 item 2 with a negative: EVERY K-chunked restructuring of this
+    kernel — grid-level accumulation, Mosaic-managed inner pipeline, or
+    manual double-buffered DMA — collapses to the same ~150 GB/s
+    packed-stream wall regardless of mechanism and of chunk count,
+    ~3x slower than the production full-K single-pass grid (72.6/64.3/
+    54.9% at the same Ms). The production structure (whole-K blocks,
+    Mosaic prefetching across the parallel N grid) is the right one on
+    this Mosaic version; the residual M-scaling gap is unpack VPU
+    volume, which no chunking addresses."""
+
+    @functools.partial(jax.jit, static_argnames=("gs", "tn", "nk_"))
+    def run(x, packed, scales, zeros, layer, gs, tn, nk_):
+        M, K = x.shape
+        N = packed.shape[2]
+        half = K // 2
+        g_half = half // gs
+        assert g_half % nk_ == 0, (g_half, nk_)
+        cg = g_half // nk_
+        R = cg * gs
+        n_groups = K // gs
+        TM = max(8, ((M + 7) // 8) * 8)
+        Mp = ((M + TM - 1) // TM) * TM
+        if Mp != M:
+            x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+        lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+        def kernel(l_ref, x_ref, p_hbm, s_ref, z_ref, o_ref, acc_ref):
+            j = pl.program_id(1)
+            layer_i = l_ref[0]
+            TMk = x_ref.shape[0]
+
+            def inner(p_ref):
+                k = pl.program_id(0)
+                p = p_ref[0]  # [R, tn] u8
+                lo = _u_i32(p, 0)
+                hi = _u_i32(p, 1)
+                sl = s_ref[0, pl.ds(k * cg, cg), 0, :]
+                sh = s_ref[0, pl.ds(g_half + k * cg, cg), 0, :]
+                srl = jnp.broadcast_to(
+                    sl[:, None, :], (cg, gs, tn)
+                ).reshape(R, tn)
+                srh = jnp.broadcast_to(
+                    sh[:, None, :], (cg, gs, tn)
+                ).reshape(R, tn)
+                lo = lo * srl.astype(jnp.bfloat16)
+                hi = hi * srh.astype(jnp.bfloat16)
+                xl = x_ref[:, pl.ds(k * R, R)]
+                xh = x_ref[:, pl.ds(half + k * R, R)]
+                part = jnp.dot(
+                    xl, lo, preferred_element_type=jnp.float32
+                ) + jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+                xgl = jnp.sum(
+                    xl.astype(jnp.float32).reshape(TMk, cg, gs), axis=-1
+                ).astype(jnp.bfloat16)
+                xgh = jnp.sum(
+                    xh.astype(jnp.float32).reshape(TMk, cg, gs), axis=-1
+                ).astype(jnp.bfloat16)
+                zl = z_ref[0, pl.ds(k * cg, cg), 0, :].astype(jnp.bfloat16)
+                zh = z_ref[
+                    0, pl.ds(g_half + k * cg, cg), 0, :
+                ].astype(jnp.bfloat16)
+                part = part + jnp.dot(
+                    xgl, zl, preferred_element_type=jnp.float32
+                )
+                part = part + jnp.dot(
+                    xgh, zh, preferred_element_type=jnp.float32
+                )
+
+                @pl.when(k == 0)
+                def _():
+                    acc_ref[:] = part
+
+                @pl.when(k > 0)
+                def _():
+                    acc_ref[:] = acc_ref[:] + part
+
+            pipe = pltpu.emit_pipeline(
+                inner,
+                grid=(nk_,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, R, tn), lambda k: (layer_i, k, j)
+                    ),
+                ],
+            )
+            pipe(p_hbm)
+            o_ref[:] = acc_ref[:]
+
+        grid = (Mp // TM, N // tn)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((TM, K), lambda i, j, l: (i, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(
+                        (1, n_groups, 1, tn),
+                        lambda i, j, l: (l[0], 0, 0, j),
+                    ),
+                    pl.BlockSpec(
+                        (1, n_groups, 1, tn),
+                        lambda i, j, l: (l[0], 0, 0, j),
+                    ),
+                ],
+                out_specs=pl.BlockSpec((TM, tn), lambda i, j, l: (i, j)),
+                scratch_shapes=[pltpu.VMEM((TM, tn), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * K * N,
+                bytes_accessed=K // 2 * N + 8 * n_groups * N + Mp * K * 2,
+                transcendentals=0,
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(lidx, x.astype(jnp.bfloat16), packed,
+          scales[:, :, None, :], zeros[:, :, None, :])
         return out[:M]
 
     def call(x, q, layer, gs):
@@ -670,7 +826,9 @@ def check_correct(fn, gs=128):
     from duodecoding_tpu.models.quant import int4_matmul_reference
 
     key = jax.random.PRNGKey(0)
-    K, N, L = 4096, 512, 2  # half=2048: kgrid chunk sizes up to 16 divide
+    # half=2304: g_half=18 — kgrid chunk counts 2/3/6/9/18 (the divisors
+    # of the 13B w_down g_half=54 actually swept) all divide
+    K, N, L = 4608, 512, 2
     w = jax.random.normal(key, (L, K, N), jnp.float32) * 0.1
     q = quantize_int4(w, group_size=gs)
     x = jax.random.normal(jax.random.PRNGKey(1), (8, K), jnp.bfloat16)
@@ -732,8 +890,24 @@ if __name__ == "__main__":
                 variants[n] = make_prod()
             elif n.startswith("stream"):
                 variants[n] = make_stream(int(n[6:]) if n[6:] else None)
+            elif n.startswith("epipe"):
+                spec = n[5:]
+                if "@" in spec:
+                    nk_s, tn_s = spec.split("@")
+                    variants[n] = make_epipe(int(nk_s), int(tn_s))
+                else:
+                    variants[n] = make_epipe(int(spec or 6))
             elif n.startswith("kgrid"):
-                variants[n] = make_kgrid(int(n[5:] or 8))
+                # kgridN or kgridN@TN (explicit tile_n: the K-split's
+                # whole point at w_down shapes is that the per-step
+                # packed block R x TN stays small, so TN can exceed the
+                # full-K kernel's 128 cap)
+                spec = n[5:]
+                if "@" in spec:
+                    nk_s, tn_s = spec.split("@")
+                    variants[n] = make_kgrid(int(nk_s), int(tn_s))
+                else:
+                    variants[n] = make_kgrid(int(spec or 8))
             elif n.endswith("+par"):
                 variants[n] = make_stacked(n[:-4], parallel=True)
             elif n.endswith("+vmem"):
