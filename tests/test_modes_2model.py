@@ -100,3 +100,33 @@ def test_throughput_definition(engine):
     assert m["throughput"] == pytest.approx(
         m["generated_tokens"] / m["wall_time"]
     )
+
+
+def test_dssd_int4_target_sliced_draft_lossless():
+    """The dssd 7B-row construction (tools/dssd_rows.py): an INT4-quantized
+    target with an INT8 KV cache and a layer-sliced draft cut from the SAME
+    quantized pytree must run dist_split_spec greedily lossless vs its own
+    AR output (reference regime: experiment_results_table.md rows 8-9)."""
+    from duodecoding_tpu.models.quant import fuse_params
+    from duodecoding_tpu.models.surgery import (
+        init_random_quant_params, scale_residual, truncate_model,
+    )
+
+    cfg = resolve_config("test-tiny-deep")
+    q = fuse_params(init_random_quant_params(cfg, jax.random.PRNGKey(0), 16))
+    tp = scale_residual(q, 0.05)
+    dcfg, dp = truncate_model(cfg, tp, 1)
+    # the INT4 compute path emits bf16 activations, so the cache must be
+    # bf16 too (the production bench/make_engine config)
+    ec = EngineConfig(
+        max_tokens=16, gamma=3, max_seq_len=128,
+        edge_cloud_bandwidth=23.6, ntt_ms_edge_cloud=10, ntt_ms_edge_end=0,
+        param_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
+        int8_kv_target=True,
+    )
+    eng = Engine(target=Tier(cfg, tp), draft=Tier(dcfg, dp), config=ec)
+    out_ar, _ = eng.run("large", PROMPT)
+    out, m = eng.run("dist_split_spec", PROMPT, transfer_top_k=64)
+    np.testing.assert_array_equal(out[0], out_ar[0])
+    assert m["generated_tokens"] == 16
+    assert m["edge_cloud_data_bytes"] > 0
